@@ -49,6 +49,7 @@ class Link:
 class ParseResult:
     links: list[Link] = field(default_factory=list)
     records: list[dict] = field(default_factory=list)
+    error: str | None = None  # kernel exception -> row dropped but counted
 
 
 def _qs(url: str) -> dict[str, str]:
@@ -595,6 +596,7 @@ def parse_page(url: str, payload: str, meta: dict | None = None) -> ParseResult:
         return ParseResult()
     try:
         return fn(payload, url, meta or {})  # type: ignore[operator]
-    except Exception:
-        # error isolation: drop the row, keep the batch (mirror.py:81-85)
-        return ParseResult()
+    except Exception as e:
+        # error isolation: drop the row, keep the batch (mirror.py:81-85),
+        # surface the error for the counters table (SURVEY.md §1.4)
+        return ParseResult(error=f"{type(e).__name__}: {e}")

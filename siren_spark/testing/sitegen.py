@@ -45,6 +45,9 @@ class SiteSpec:
     days: int = 2                   # tg-epaper date-step fan-out
     duplicate_links: int = 2        # cross-page duplicate article urls (A1)
     lang_hi_every: int = 7          # every Nth article gets lang='hi'
+    # mirror seed fan-out; the reference uses range(10, 50) unconditionally
+    # (mirror.py:101-105). Tests may narrow it to keep round counts small.
+    mirror_seed_range: tuple[int, int] = (10, 50)
 
 
 @dataclass
@@ -138,7 +141,7 @@ def _build_mirror(spec: SiteSpec, rng: random.Random):
     # seeds replicate mirror.py:101-105 (fixed 10..49 range); pages beyond
     # search_pages_present are absent from the table -> deferred
     for kw in spec.keywords:
-        for pageno in range(10, 50):
+        for pageno in range(*spec.mirror_seed_range):
             seeds.append({
                 "url": with_query(f"{base}/getsearchdata.cms",
                                   {"query": kw, "pagenumber": pageno}),

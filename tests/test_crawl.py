@@ -1,0 +1,164 @@
+"""Frontier-equivalence, byte-identity-on-Spark, resume, politeness, Bloom.
+
+The Spark engine must match the single-process oracle simulator exactly:
+URL-seen set, per-round ordered schedule, extracted results (byte-
+identical text), and counters (FIXTURES.md §4).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siren_spark.crawl import CrawlConfig, run_crawl
+from siren_spark.testing.oracle import simulate_crawl
+from siren_spark.testing.sitegen import (
+    SiteSpec, WINDOW_END, WINDOW_START, build_site,
+)
+from tests.conftest import pages_df, seeds_df
+
+BUDGET = 7  # small budget so politeness deferral actually kicks in
+
+# narrow mirror's 10..49 seed fan-out (kept faithful by default in sitegen)
+# so each crawl converges in ~4 rounds instead of ~12
+SPEC = SiteSpec(mirror_seed_range=(10, 19))
+
+
+@pytest.fixture(scope="module")
+def site():
+    return build_site(SPEC)
+
+
+@pytest.fixture(scope="module")
+def sim(site):
+    return simulate_crawl(
+        site.pages, site.seeds, budget_per_host=BUDGET,
+        window_start=WINDOW_START, window_end=WINDOW_END,
+        keywords=SPEC.keywords,
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark, site, tmp_path_factory):
+    cfg = CrawlConfig(
+        budget_per_host=BUDGET, window_start=WINDOW_START,
+        window_end=WINDOW_END, keywords=SPEC.keywords,
+        use_bloom=True, bloom_bits=1 << 16, bloom_buckets=4, salt_buckets=4,
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    return run_crawl(spark, pages_df(spark, site.pages),
+                     seeds_df(spark, site.seeds), cfg, ckpt)
+
+
+def _result_key(r):
+    return (r["source"], r["url"], r["title"] or "", r["text"], r["gen"])
+
+
+def test_seen_set_identical(engine, sim):
+    got = {r.url_canon for r in engine.seen.collect()}
+    assert got == sim.seen
+
+
+def test_results_byte_identical(engine, sim):
+    got = sorted(_result_key(r.asDict()) for r in engine.results.collect())
+    exp = sorted(_result_key(r) for r in sim.results)
+    assert got == exp
+
+
+def test_counters_match(engine, sim):
+    got = {}
+    for r in engine.counters.collect():
+        got[(r.gen, r.metric)] = got.get((r.gen, r.metric), 0) + r.n
+    exp = {}
+    for c in sim.counters:
+        exp[(c["gen"], c["metric"])] = exp.get((c["gen"], c["metric"]), 0) + c["n"]
+    # compare every metric the sim tracked (engine may emit zero-rows absent)
+    for k, v in exp.items():
+        assert got.get(k, 0) == v, (k, got.get(k, 0), v)
+
+
+def test_round_count(engine, sim):
+    assert engine.rounds == len(sim.schedule)
+
+
+def test_politeness_budget_never_exceeded(engine, spark):
+    # per (gen, domain): fetched <= BUDGET
+    over = (
+        engine.counters.filter(F.col("metric") == "fetched")
+        .filter(F.col("n") > BUDGET).collect()
+    )
+    assert over == []
+
+
+def test_schedule_per_round_matches_oracle(spark, site, sim, tmp_path):
+    """Scheduled sets per round are checkpointed as seen deltas — compare
+    each round's delta to the oracle's ordered schedule (as a set, plus
+    global order determinism via the sorted comparison)."""
+    from siren_spark.operators.checkpoint import CheckpointStore
+    cfg = CrawlConfig(budget_per_host=BUDGET, window_start=WINDOW_START,
+                      window_end=WINDOW_END, keywords=SPEC.keywords,
+                      use_bloom=False, salt_buckets=2)
+    ckpt = str(tmp_path / "ck")
+    run_crawl(spark, pages_df(spark, site.pages), seeds_df(spark, site.seeds),
+              cfg, ckpt)
+    store = CheckpointStore(ckpt)
+    for gen, expected_round in enumerate(sim.schedule):
+        delta = store.read(spark, gen, "seen_delta").collect()
+        assert sorted(r.url_canon for r in delta) == sorted(expected_round), gen
+
+
+def test_resume_equals_uninterrupted(spark, site, engine, tmp_path):
+    cfg = CrawlConfig(
+        budget_per_host=BUDGET, window_start=WINDOW_START,
+        window_end=WINDOW_END, keywords=SPEC.keywords,
+        use_bloom=True, bloom_bits=1 << 16, bloom_buckets=4, salt_buckets=4,
+    )
+    ckpt = str(tmp_path / "ck2")
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_crawl(spark, pages_df(spark, site.pages),
+                  seeds_df(spark, site.seeds), cfg, ckpt, fail_after_round=1)
+    resumed = run_crawl(spark, pages_df(spark, site.pages),
+                        seeds_df(spark, site.seeds), cfg, ckpt, resume=True)
+    a = sorted(_result_key(r.asDict()) for r in resumed.results.collect())
+    b = sorted(_result_key(r.asDict()) for r in engine.results.collect())
+    assert a == b
+    sa = {r.url_canon for r in resumed.seen.collect()}
+    sb = {r.url_canon for r in engine.seen.collect()}
+    assert sa == sb
+
+
+def test_bloom_equals_exact(spark, site, tmp_path, engine):
+    """Bloom + exact-confirm path produces the same crawl as plain anti-join."""
+    cfg = CrawlConfig(budget_per_host=BUDGET, window_start=WINDOW_START,
+                      window_end=WINDOW_END, keywords=SPEC.keywords,
+                      use_bloom=False)
+    ckpt = str(tmp_path / "ck3")
+    exact = run_crawl(spark, pages_df(spark, site.pages),
+                      seeds_df(spark, site.seeds), cfg, ckpt)
+    a = sorted(_result_key(r.asDict()) for r in exact.results.collect())
+    b = sorted(_result_key(r.asDict()) for r in engine.results.collect())
+    assert a == b
+
+
+def test_robots_gating(spark, site, tmp_path):
+    """block-all domain yields zero fetches; path-prefix rules enforced."""
+    robots = spark.createDataFrame(
+        [("mirror-city.example", "User-agent: *\nDisallow: /\n")],
+        "domain string, rules string",
+    )
+    cfg = CrawlConfig(budget_per_host=BUDGET, window_start=WINDOW_START,
+                      window_end=WINDOW_END, keywords=SPEC.keywords,
+                      use_bloom=False, max_rounds=3)
+    res = run_crawl(spark, pages_df(spark, site.pages),
+                    seeds_df(spark, site.seeds), cfg, str(tmp_path / "ck4"),
+                    robots=robots)
+    mirror_fetched = (
+        res.counters.filter((F.col("metric") == "fetched")
+                            & (F.col("domain") == "mirror-city.example"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert not mirror_fetched
+    blocked = (
+        res.counters.filter(F.col("metric") == "robots_blocked")
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert blocked and blocked > 0
+    assert res.results.filter(F.col("source") == "mirror").count() == 0
