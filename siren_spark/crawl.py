@@ -1,29 +1,42 @@
 """The crawl engine: frontier generations as DataFrame batch rounds.
 
-One round = one micro-batch (SURVEY.md §3.1 Spark lifecycle equivalent):
+One round = one micro-batch (SURVEY.md §3.1 Spark lifecycle equivalent),
+structured so each round materializes exactly two heavy jobs:
 
-    frontier --robots gate--> allowed            (blocked -> counter)
-            --Bloom + exact anti-join vs seen--> new      (deduped -> counter)
-            --politeness top-k per host-->  scheduled | deferred
-    scheduled ⋈ pages (equi-join on url_canon)   (miss -> counter, dropped
-                                                  like the reference's
-                                                  non-200 -> [] mirror.py:53)
-            --extract_pages (one Arrow pass)-->  links + records + errors
-    records --per-source date window (P1) + keyword (P3) filters--> results
-    links   --canonicalize + in-round dedup-->   next frontier (∪ deferred)
-    seen   ∪= scheduled   (attempted = seen, ht.py:242-247 semantics)
+1. **annotate**: ONE plan over the frontier computes every scheduling
+   decision as columns — robots verdict (vectorized matcher), in-frontier
+   dedup rank (window over url_canon), seen-set probe (broadcast Bloom +
+   exact-confirm join on the maybe-seen sliver only), and the salted
+   two-phase per-host politeness top-k — and writes the annotated
+   frontier with a ``status`` column
+   (blocked | deduped | scheduled | deferred). Counters and the next
+   round's inputs all derive from this parquet; nothing is recomputed.
+2. **fetch+extract**: scheduled rows equi-join the pages store
+   (co-partitioned on url_canon so only the small side shuffles) and run
+   the single-pass Arrow extraction (links | records | errors).
 
-Every round checkpoints (frontier, seen delta, results, counters) with an
-atomic manifest; a killed run resumes from the last committed round and
-produces byte-identical final state (tests/test_crawl.py).
+The Bloom seen-filter is maintained incrementally: each round builds a
+filter over its seen-delta only (mapInArrow) and OR-merges it into the
+running filter driver-side, so no round rescans the seen history.
+
+Every round commits atomically (manifest rename); a killed run resumes
+from the last committed round with byte-identical final state.
 
 Determinism: every tie is broken on url_canon, so the scheduled set and
-crawl ordering are independent of parallelism — the property that makes
-the N-vs-4N scaling comparison apples-to-apples.
+crawl ordering are independent of parallelism — what makes the N-vs-4N
+scaling comparison apples-to-apples.
+
+Counter semantics match the reference-scheduling oracle
+(siren_spark/testing/oracle.py; reference cites in the ops modules):
+robots_blocked, deduped (in-frontier dup + seen hit), fetched
+(= scheduled, ht.py:242-247 "attempted = seen"), deferred (politeness),
+missing (frontier URL absent from pages — the reference's non-200 -> []
+mirror.py:53), errors (kernel exceptions, mirror.py:81-85).
 """
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field as dc_field
 from datetime import datetime
 
@@ -32,9 +45,10 @@ from pyspark.sql import functions as F
 
 from siren_spark.functions.udfs import canonicalize_udf, domain_udf, extract_pages
 from siren_spark.operators.checkpoint import CheckpointStore
-from siren_spark.operators.politeness import politeness_schedule
-from siren_spark.operators.robots import robots_gate
-from siren_spark.operators.seen import filter_unseen
+from siren_spark.operators.robots import RobotsMatcher
+from siren_spark.operators.seen import BloomFilter, build_bloom, merge_blooms
+
+import pandas as pd
 
 # Client-side strict date-window filter applies only where the reference
 # applies it (P1): mirror.py:61, online/telegraph.py:48, newsminute.py:81-83.
@@ -55,18 +69,26 @@ class CrawlConfig:
     window_end: datetime | None = None
     keywords: list[str] = dc_field(default_factory=list)
     pages_partitions: int | None = None  # repartition pages on url_canon
+    # broadcast the scheduled side of the fetch join below this row count
+    # (above it: co-partitioned SMJ, the 10^10-scale path)
+    broadcast_fetch_max: int = 2_000_000
+    verbose: bool = False
 
 
 RESULT_COLS = ["source", "url", "title", "author", "location", "published",
                "text", "extra", "gen"]
+
+FRONTIER_COLS = ["url", "url_canon", "domain", "priority", "depth", "via",
+                 "meta"]
 
 
 def prepare_pages(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Canonicalize page keys once; partition by key for the fetch joins.
 
     At cluster scale this is the bucketed-write of the pages table
-    (bucket(N, url_canon)) done at ingest so every round's fetch join is
-    co-located; locally we emulate with an explicit repartition + cache.
+    (bucket(N, url_canon)) done at ingest so every round's fetch join
+    only shuffles the (small) scheduled side; locally we emulate with an
+    explicit repartition + cache.
     """
     p = pages.select(
         canonicalize_udf(F.col("url")).alias("url_canon"),
@@ -79,26 +101,116 @@ def prepare_pages(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 
 def _seeds_to_frontier(seeds: DataFrame) -> DataFrame:
-    cols = dict.fromkeys(seeds.columns)
-    meta = F.col("meta") if "meta" in cols else F.create_map().cast(
-        "map<string,string>")
-    return seeds.select(
-        F.col("url"),
-        canonicalize_udf(F.col("url")).alias("url_canon"),
-        meta.alias("meta"),
-    ).withColumn("domain", domain_udf(F.col("url_canon"))) \
-     .withColumn("priority", F.lit(1.0)) \
-     .withColumn("depth", F.lit(0)) \
-     .withColumn("via", F.lit(None).cast("string"))
-
-
-def _dedup_frontier(frontier: DataFrame) -> DataFrame:
-    """In-frontier dedup by url_canon, deterministic representative."""
-    w = Window.partitionBy("url_canon").orderBy(
-        F.desc("priority"), F.asc("depth"), F.asc_nulls_first("via"), F.asc("url")
+    meta = (F.col("meta") if "meta" in seeds.columns
+            else F.create_map().cast("map<string,string>"))
+    return (
+        seeds.select(F.col("url"),
+                     canonicalize_udf(F.col("url")).alias("url_canon"),
+                     meta.alias("meta"))
+        .withColumn("domain", domain_udf(F.col("url_canon")))
+        .withColumn("priority", F.lit(1.0))
+        .withColumn("depth", F.lit(0))
+        .withColumn("via", F.lit(None).cast("string"))
+        .select(*FRONTIER_COLS)
     )
-    return (frontier.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def _annotate_round(
+    frontier: DataFrame,
+    *,
+    cfg: CrawlConfig,
+    matcher: RobotsMatcher | None,
+    bloom: BloomFilter | None,
+    seen_exact: DataFrame | None,
+) -> DataFrame:
+    """One plan: robots -> dedup -> seen -> politeness, as a status column."""
+    spark = frontier.sparkSession
+    df = frontier
+
+    # robots (broadcast matcher, vectorized)
+    if matcher is not None:
+        bc = spark.sparkContext.broadcast(matcher)
+
+        @F.pandas_udf("boolean")
+        def allowed_udf(domains: pd.Series, urls: pd.Series) -> pd.Series:
+            m = bc.value
+            return pd.Series([m.allowed(d, u)
+                              for d, u in zip(domains, urls)], dtype=bool)
+
+        df = df.withColumn("__allowed",
+                           allowed_udf(F.col("domain"), F.col("url_canon")))
+    else:
+        df = df.withColumn("__allowed", F.lit(True))
+
+    # in-frontier dedup among allowed rows (deterministic representative;
+    # blocked rows sink so a blocked duplicate never steals rank 1)
+    w_dup = Window.partitionBy("url_canon").orderBy(
+        F.desc("__allowed"), F.desc("priority"), F.asc("depth"),
+        F.asc_nulls_first("via"), F.asc("url"),
+    )
+    df = df.withColumn("__rn_dup", F.row_number().over(w_dup))
+
+    # seen probe: Bloom negatives skip the join; maybe-seen rows exact-confirm
+    if seen_exact is not None:
+        seen_keys = seen_exact.select("url_canon").withColumn(
+            "__hit", F.lit(True))
+        if bloom is not None and cfg.use_bloom:
+            bcb = spark.sparkContext.broadcast(bloom)
+
+            @F.pandas_udf("boolean")
+            def maybe_udf(h1: pd.Series, h2: pd.Series) -> pd.Series:
+                import numpy as np
+                f = bcb.value
+                return pd.Series(f.might_contain_np(
+                    h1.to_numpy(dtype="int64"), h2.to_numpy(dtype="int64")))
+
+            from siren_spark.operators.seen import _SEED2
+            df = df.withColumn("__maybe", maybe_udf(
+                F.xxhash64(F.col("url_canon")),
+                F.xxhash64(F.col("url_canon"), F.lit(_SEED2))))
+            definite = df.filter(~F.col("__maybe")).withColumn(
+                "__seen", F.lit(False))
+            candidates = (
+                df.filter(F.col("__maybe"))
+                .join(seen_keys, "url_canon", "left")
+                .withColumn("__seen", F.coalesce(F.col("__hit"), F.lit(False)))
+                .drop("__hit")
+            )
+            df = definite.drop("__maybe").unionByName(candidates.drop("__maybe"))
+        else:
+            df = (df.join(seen_keys, "url_canon", "left")
+                  .withColumn("__seen", F.coalesce(F.col("__hit"), F.lit(False)))
+                  .drop("__hit"))
+    else:
+        df = df.withColumn("__seen", F.lit(False))
+
+    df = df.withColumn(
+        "__eligible",
+        F.col("__allowed") & (F.col("__rn_dup") == 1) & ~F.col("__seen"),
+    )
+
+    # politeness: salted two-phase per-host top-k. Phase 1 bounds any
+    # domain's phase-2 window input to salt_buckets*budget rows, so one
+    # hot host (30%+ of a web frontier) cannot funnel through one task.
+    order = [F.desc("__eligible"), F.desc("priority"), F.asc("url_canon")]
+    df = df.withColumn("__salt",
+                       F.pmod(F.xxhash64("url_canon"), F.lit(cfg.salt_buckets)))
+    w1 = Window.partitionBy("domain", "__salt").orderBy(*order)
+    df = df.withColumn("__rn1", F.row_number().over(w1))
+    df = df.withColumn("__surv",
+                       F.col("__eligible") & (F.col("__rn1") <= cfg.budget_per_host))
+    w2 = Window.partitionBy("domain").orderBy(
+        F.desc("__surv"), F.desc("priority"), F.asc("url_canon"))
+    df = df.withColumn("__rn2", F.row_number().over(w2))
+
+    status = (
+        F.when(~F.col("__allowed"), F.lit("blocked"))
+        .when((F.col("__rn_dup") > 1) | F.col("__seen"), F.lit("deduped"))
+        .when(F.col("__surv") & (F.col("__rn2") <= cfg.budget_per_host),
+              F.lit("scheduled"))
+        .otherwise(F.lit("deferred"))
+    )
+    return df.select(*FRONTIER_COLS, status.alias("status"))
 
 
 def _apply_result_filters(records: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -110,21 +222,18 @@ def _apply_result_filters(records: DataFrame, cfg: CrawlConfig) -> DataFrame:
             & (F.col("published") < F.lit(cfg.window_end))
         )
         out = out.filter(
-            (~F.col("source").isin(*DATE_FILTERED_SOURCES)) | in_window
-        )
+            (~F.col("source").isin(*DATE_FILTERED_SOURCES)) | in_window)
     if cfg.keywords:
         kws = F.array(*[F.lit(k.lower()) for k in cfg.keywords])
         has_kw = F.exists(
             kws,
             lambda k: (
-                F.col("title").isNotNull()
-                & (F.col("title") != F.lit(""))
+                F.col("title").isNotNull() & (F.col("title") != F.lit(""))
                 & F.contains(F.lower(F.col("title")), k)
             ) | F.contains(F.lower(F.col("text")), k),
         )
         out = out.filter(
-            (~F.col("source").isin(*KEYWORD_FILTERED_SOURCES)) | has_kw
-        )
+            (~F.col("source").isin(*KEYWORD_FILTERED_SOURCES)) | has_kw)
     return out
 
 
@@ -134,6 +243,32 @@ class CrawlResult:
     results: DataFrame | None
     counters: DataFrame | None
     seen: DataFrame | None
+
+
+def _seen_from_ann(spark: SparkSession, store: CheckpointStore,
+                   upto_gen: int | None = None) -> DataFrame | None:
+    """The exact seen set = scheduled rows of every committed round's
+    annotated frontier (attempted = seen, ht.py:242-247)."""
+    last = store.latest_gen() if upto_gen is None else upto_gen
+    if last is None:
+        return None
+    paths = [store.manifest(g)["tables"]["frontier_ann"]
+             for g in range(last + 1)]
+    return (spark.read.parquet(*paths)
+            .filter(F.col("status") == "scheduled").select("url_canon"))
+
+
+def _counters_from_manifests(spark: SparkSession,
+                             store: CheckpointStore) -> DataFrame | None:
+    last = store.latest_gen()
+    if last is None:
+        return None
+    rows = []
+    for g in range(last + 1):
+        for d, m, n in store.manifest(g)["stats"].get("counters", []):
+            rows.append((g, d, m, n))
+    return spark.createDataFrame(
+        rows, "gen int, domain string, metric string, n long")
 
 
 def run_crawl(
@@ -150,126 +285,161 @@ def run_crawl(
     store = CheckpointStore(checkpoint_dir)
     pages_p = prepare_pages(pages, cfg).persist()
 
+    matcher = None
+    if robots is not None:
+        matcher = RobotsMatcher(
+            [(r["domain"], r["rules"]) for r in robots.collect()])
+
+    bloom: BloomFilter | None = None
+    seen_exact: DataFrame | None = None
+
+    def _build_delta_bloom(delta: DataFrame) -> BloomFilter:
+        return build_bloom(delta, "url_canon",
+                           bits_per_bucket=cfg.bloom_bits,
+                           buckets=cfg.bloom_buckets)
+
     if resume and (last := store.latest_gen()) is not None:
         start_gen = last + 1
         frontier = store.read(spark, last, "frontier")
-        seen = store.read_all(spark, "seen_delta", upto_gen=last)
+        seen_exact = _seen_from_ann(spark, store, upto_gen=last)
+        if cfg.use_bloom and seen_exact is not None:
+            bloom = _build_delta_bloom(seen_exact)
     else:
         start_gen = 0
         frontier = _seeds_to_frontier(seeds)
-        seen = None
+
+    def _log(msg: str) -> None:
+        if cfg.verbose:
+            print(f"[crawl] {msg}", flush=True)
 
     for gen in range(start_gen, cfg.max_rounds):
-        frontier = frontier.persist()
-        if frontier.isEmpty():
-            frontier.unpersist()
+        t0 = time.time()
+
+        # ---- job 1: annotate + commit scheduling decisions -------------
+        ann = _annotate_round(frontier, cfg=cfg, matcher=matcher,
+                              bloom=bloom, seen_exact=seen_exact)
+        ann_path = store.stage_table(gen, "frontier_ann", ann)
+        ann_r = spark.read.parquet(ann_path)
+        n_by_status = {r["status"]: r["n"] for r in
+                       ann_r.groupBy("status").agg(F.count("*").alias("n"))
+                       .collect()}
+        _log(f"gen {gen} annotate {time.time()-t0:.1f}s {n_by_status}")
+        if not n_by_status:   # empty frontier -> done (no round committed)
             break
 
-        # 1. robots gate (RFC 9309; reference has none — new surface)
-        allowed, blocked = robots_gate(frontier, robots)
+        sched = ann_r.filter(F.col("status") == "scheduled")
 
-        # 2. dedup: in-frontier + against the persistent seen set
-        allowed = _dedup_frontier(allowed)
-        new = filter_unseen(
-            allowed, seen, bloom=cfg.use_bloom,
-            bits_per_bucket=cfg.bloom_bits, buckets=cfg.bloom_buckets,
-        ).persist()
+        # ---- job 2: fetch-join + single-pass extract --------------------
+        # Scheduled keys broadcast into a hash join against the pages
+        # store: the (big) pages side never shuffles. Above the broadcast
+        # threshold — as at true 10^10 scale — fall back to co-partitioned
+        # SMJ where only the scheduled side shuffles (pages were
+        # partitioned on url_canon at ingest).
+        t1 = time.time()
+        fetch_side = sched.select("url", "url_canon", "meta")
+        n_sched = n_by_status.get("scheduled", 0)
+        if n_sched <= cfg.broadcast_fetch_max:
+            fetched = pages_p.join(F.broadcast(fetch_side), "url_canon",
+                                   "inner")
+        else:
+            if cfg.pages_partitions:
+                fetch_side = fetch_side.repartition(cfg.pages_partitions,
+                                                    "url_canon")
+            fetched = fetch_side.join(pages_p, "url_canon", "inner")
+        extracted_path = store.stage_table(
+            gen, "extracted",
+            extract_pages(fetched.select("url", "html", "meta")))
+        ex = spark.read.parquet(extracted_path)
+        _log(f"gen {gen} fetch+extract {time.time()-t1:.1f}s")
 
-        # 3. politeness: per-host budget, deterministic order
-        scheduled, deferred = politeness_schedule(
-            new, budget_per_host=cfg.budget_per_host,
-            salt_buckets=cfg.salt_buckets,
-        )
-        scheduled = scheduled.persist()
-
-        # 4. fetch = equi-join against the pages store
-        fetched = scheduled.join(pages_p, "url_canon", "left")
-        hits = fetched.filter(F.col("html").isNotNull())
-
-        # 5. extract: one Arrow pass -> links | records | errors
-        extracted = extract_pages(
-            hits.select(F.col("url"), F.col("html"), F.col("meta"))
-        ).persist()
-
-        records = (
-            extracted.filter(F.col("kind") == "record")
-            .drop("kind", "meta")
-            .withColumn("gen", F.lit(gen))
-        )
-        results_round = _apply_result_filters(records, cfg).select(*RESULT_COLS)
+        # ---- cheap derivations from the two committed tables ------------
+        t2 = time.time()
+        results_round = _apply_result_filters(
+            ex.filter(F.col("kind") == "record").drop("kind", "meta")
+              .withColumn("gen", F.lit(gen)),
+            cfg,
+        ).select(*RESULT_COLS)
 
         links = (
-            extracted.filter(F.col("kind") == "link")
-            .select(
-                F.col("url"),
-                canonicalize_udf(F.col("url")).alias("url_canon"),
-                "meta", "via",
-            )
+            ex.filter(F.col("kind") == "link")
+            .select(F.col("url"),
+                    canonicalize_udf(F.col("url")).alias("url_canon"),
+                    "meta", "via")
             .withColumn("domain", domain_udf(F.col("url_canon")))
             .withColumn("priority", F.lit(round(1.0 / (gen + 2), 6)))
             .withColumn("depth", F.lit(gen + 1))
+            .select(*FRONTIER_COLS)
         )
-        # no dedup here: the next round's round-start dedup handles it and
-        # counts it, keeping the deduped counter equal to the oracle's
-        next_frontier = links.select(*deferred.columns).unionByName(deferred)
+        next_frontier = links.unionByName(
+            ann_r.filter(F.col("status") == "deferred").select(*FRONTIER_COLS))
 
-        # 6. counters (per-domain lineage, SURVEY.md §1.4)
-        def _cnt(df: DataFrame, metric: str) -> DataFrame:
-            return df.groupBy("domain").agg(F.count("*").alias("n")) \
-                     .withColumn("metric", F.lit(metric))
+        # per-domain counters, all from already-materialized tables; kept
+        # in the manifest (tiny) rather than a per-round parquet write
+        metric_of = {"blocked": "robots_blocked", "deduped": "deduped",
+                     "scheduled": "fetched", "deferred": "deferred"}
+        cnt: dict[tuple[str, str], int] = {}
+        sched_by_dom: dict[str, int] = {}
+        for r in (ann_r.groupBy("domain", "status")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()):
+            cnt[(r["domain"], metric_of[r["status"]])] = r["n"]
+            if r["status"] == "scheduled":
+                sched_by_dom[r["domain"]] = r["n"]
+        hits_by_dom: dict[str, int] = {}
+        for r in (ex.filter(F.col("kind").isin("page", "error"))
+                  .withColumn("domain", domain_udf(F.col("url")))
+                  .groupBy("domain", "kind")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()):
+            if r["kind"] == "page":
+                hits_by_dom[r["domain"]] = r["n"]
+            else:
+                cnt[(r["domain"], "errors")] = r["n"]
+        for dom, n in sched_by_dom.items():
+            miss = n - hits_by_dom.get(dom, 0)
+            if miss:
+                cnt[(dom, "missing")] = miss
 
-        err_count = extracted.filter(F.col("kind") == "error") \
-            .withColumn("domain", domain_udf(F.col("url"))) \
-            .groupBy("domain").agg(F.count("*").alias("n")) \
-            .withColumn("metric", F.lit("errors"))
-        missing = fetched.filter(F.col("html").isNull())
-        counters = (
-            _cnt(scheduled, "fetched")
-            .unionByName(_cnt(missing, "missing"))
-            .unionByName(_cnt(blocked, "robots_blocked"))
-            .unionByName(_cnt(deferred, "deferred"))
-            .unionByName(err_count)
-            .withColumn("gen", F.lit(gen))
-            .select("gen", "domain", "metric", "n")
-        )
-        # deduped = rows removed by in-frontier dedup + the seen-set filter
-        n_frontier = frontier.count()
-        n_blocked = blocked.count()
-        n_new = new.count()
-        dedup_row = spark.createDataFrame(
-            [(gen, "*", "deduped", n_frontier - n_blocked - n_new)],
-            "gen int, domain string, metric string, n long",
-        )
-        counters = counters.unionByName(dedup_row)
+        for name, df in (("frontier", next_frontier),
+                         ("results", results_round)):
+            tw = time.time()
+            store.stage_table(gen, name, df)
+            _log(f"gen {gen}   write {name} {time.time()-tw:.1f}s")
+        store.write_round(
+            gen, {},
+            stats={
+                "by_status": {k: int(v) for k, v in n_by_status.items()},
+                "counters": [[d, m, int(n)] for (d, m), n in cnt.items()],
+            },
+            staged={n: f"{store._gen_dir(gen)}/{n}" for n in
+                    ("frontier_ann", "extracted", "frontier", "results")})
+        _log(f"gen {gen} commit {time.time()-t2:.1f}s "
+             f"total {time.time()-t0:.1f}s")
 
-        seen_delta = scheduled.select("url_canon")
-        store.write_round(gen, {
-            "frontier": next_frontier,
-            "seen_delta": seen_delta,
-            "results": results_round,
-            "counters": counters,
-        }, stats={"frontier_in": n_frontier, "scheduled": scheduled.count()})
-
-        # roll forward (read back from checkpoint: keeps lineage short and
-        # makes resume state == in-flight state)
-        frontier.unpersist()
-        new.unpersist()
-        extracted.unpersist()
-        scheduled.unpersist()
+        # roll forward from committed state
         frontier = store.read(spark, gen, "frontier")
-        seen = store.read_all(spark, "seen_delta", upto_gen=gen)
+        seen_exact = _seen_from_ann(spark, store, upto_gen=gen)
+        if cfg.use_bloom:
+            tb = time.time()
+            delta_r = (spark.read.parquet(ann_path)
+                       .filter(F.col("status") == "scheduled")
+                       .select("url_canon"))
+            bloom = merge_blooms(bloom, _build_delta_bloom(delta_r))
+            _log(f"gen {gen} bloom-delta {time.time()-tb:.1f}s")
 
         if fail_after_round is not None and gen >= fail_after_round:
             pages_p.unpersist()
             raise RuntimeError(f"simulated kill after round {gen}")
+
+        if n_by_status.get("scheduled", 0) == 0 and \
+                n_by_status.get("deferred", 0) == 0:
+            break
 
     pages_p.unpersist()
     last = store.latest_gen()
     return CrawlResult(
         rounds=(last + 1 if last is not None else 0),
         results=store.read_all(spark, "results"),
-        counters=store.read_all(spark, "counters"),
-        seen=store.read_all(spark, "seen_delta"),
+        counters=_counters_from_manifests(spark, store),
+        seen=_seen_from_ann(spark, store),
     )
 
 

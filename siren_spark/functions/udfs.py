@@ -78,6 +78,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for url, html, meta in zip(pdf["url"], pdf["html"], pdf["meta"]):
             payload = bytes(html).decode("utf-8", errors="replace") if html is not None else ""
             res = parse_page(url, payload, dict(meta) if meta is not None else {})
+            # one marker row per fetched page: lets callers derive
+            # hit/miss/error counts from this output alone (no second
+            # pass over the fetch join)
+            emit("page", url, None, url)
             if res.error is not None:
                 emit("error", url, None, url, text=res.error)
             for link in res.links:

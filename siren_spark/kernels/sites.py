@@ -589,9 +589,24 @@ for _d, _fn in {
     register(_d, _fn)
 
 
+# URL-pattern fallback for domains not in KERNELS (e.g. the bench-scale
+# synthetic web's siteN.example hosts, which serve the mirror dialect).
+# Lives in-module so executor-side fresh imports see it without any
+# driver-side registration handshake.
+_PATTERN_KERNELS: tuple[tuple[str, object], ...] = (
+    ("/getsearchdata.cms", mirror_parse),
+    ("/news/", mirror_parse),
+)
+
+
 def parse_page(url: str, payload: str, meta: dict | None = None) -> ParseResult:
-    """Dispatch by registrable domain; unknown domain -> empty result."""
+    """Dispatch by registrable domain, then URL pattern; unknown -> empty."""
     fn = KERNELS.get(registrable_domain(url))
+    if fn is None:
+        for pat, candidate in _PATTERN_KERNELS:
+            if pat in url:
+                fn = candidate
+                break
     if fn is None:
         return ParseResult()
     try:

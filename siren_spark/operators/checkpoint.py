@@ -36,13 +36,33 @@ class CheckpointStore:
         return os.path.join(self.root, "_manifests", f"{gen}.json")
 
     # -- commit protocol -------------------------------------------------
-    def write_round(self, gen: int, tables: dict[str, DataFrame],
-                    stats: dict | None = None) -> None:
-        """Write all tables for round ``gen``, then commit atomically."""
+    def _clean_stale(self, gen: int) -> None:
+        """Drop an uncommitted gen dir left by a killed run (once per gen)."""
+        if not hasattr(self, "_staged_gens"):
+            self._staged_gens: set[int] = set()
+        if gen in self._staged_gens:
+            return
         gd = self._gen_dir(gen)
         if os.path.exists(gd) and not os.path.exists(self._manifest_path(gen)):
-            shutil.rmtree(gd)  # leftover from a killed run — rewrite
-        names = {}
+            shutil.rmtree(gd)
+        self._staged_gens.add(gen)
+
+    def stage_table(self, gen: int, name: str, df: DataFrame) -> str:
+        """Materialize an intermediate table under the (uncommitted) gen
+        dir and return its path. It becomes durable only when
+        ``write_round`` commits the manifest referencing it."""
+        self._clean_stale(gen)
+        path = os.path.join(self._gen_dir(gen), name)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def write_round(self, gen: int, tables: dict[str, DataFrame],
+                    stats: dict | None = None,
+                    staged: dict[str, str] | None = None) -> None:
+        """Write all tables for round ``gen``, then commit atomically."""
+        self._clean_stale(gen)
+        gd = self._gen_dir(gen)
+        names = dict(staged or {})
         for name, df in tables.items():
             path = os.path.join(gd, name)
             df.write.mode("overwrite").parquet(path)

@@ -63,6 +63,23 @@ class BloomFilter:
         return out
 
 
+def merge_blooms(a: BloomFilter | None, b: BloomFilter) -> BloomFilter:
+    """OR-combine two filters built with identical parameters.
+
+    Lets the crawl loop maintain one running filter incrementally —
+    each round builds a small filter over its seen-delta only and ORs it
+    in, instead of rescanning the whole seen history (at 10^10 URLs the
+    history scan would dominate every round)."""
+    if a is None:
+        return b
+    assert (a.bits_per_bucket, a.num_hashes, a.buckets) == (
+        b.bits_per_bucket, b.num_hashes, b.buckets)
+    merged = dict(a.bitmaps)
+    for k, bm in b.bitmaps.items():
+        merged[k] = (merged[k] | bm) if k in merged else bm
+    return BloomFilter(a.bits_per_bucket, a.num_hashes, a.buckets, merged)
+
+
 def _hash_cols(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn("__h1", F.xxhash64(F.col(col))).withColumn(
         "__h2", F.xxhash64(F.col(col), F.lit(_SEED2))
@@ -87,6 +104,10 @@ def build_bloom(
     m = bits_per_bucket
     k = num_hashes
     B = buckets
+    # shuffle rows to their bucket so each task emits exactly one partial
+    # bitmap: collected volume = B * m/8 bytes, independent of input
+    # partitioning (without this, partials = partitions x buckets bitmaps)
+    hashed = hashed.repartition(B, F.pmod(F.col("__h1"), F.lit(B)))
 
     def build(batches):
         local: dict[int, np.ndarray] = {}

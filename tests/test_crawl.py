@@ -101,7 +101,8 @@ def test_schedule_per_round_matches_oracle(spark, site, sim, tmp_path):
               cfg, ckpt)
     store = CheckpointStore(ckpt)
     for gen, expected_round in enumerate(sim.schedule):
-        delta = store.read(spark, gen, "seen_delta").collect()
+        delta = (store.read(spark, gen, "frontier_ann")
+                 .filter("status = 'scheduled'").collect())
         assert sorted(r.url_canon for r in delta) == sorted(expected_round), gen
 
 
