@@ -231,18 +231,26 @@ FROM (
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
+# word-3-gram shingles; 8 minhash permutations from 2 md5s per shingle
+# (disjoint 8-hex slices
+# of md5(s)||md5(s||'#')) — 4x cheaper than hashing per permutation.
 _MINHASH_SPARK = """
-WITH sh AS (
+WITH tk AS (
+  SELECT doc_id, split(text, ' ') AS toks FROM documents
+), sh AS (
   SELECT doc_id,
-         array_distinct(transform(sequence(1, greatest(length(text)-7, 1)),
-                                  i -> substring(text, i, 8))) AS shingles
-  FROM documents
+         array_distinct(transform(sequence(0, greatest(size(toks)-3, 0)),
+                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tk
+), hh AS (
+  SELECT doc_id,
+         transform(shingles, s -> concat(md5(s), md5(concat(s, '#')))) AS hs
+  FROM sh
 ), mh AS (
   SELECT doc_id,
          transform(sequence(0, 7),
-                   j -> array_min(transform(shingles,
-                                            s -> md5(concat(CAST(j AS STRING), s))))) AS sig
-  FROM sh
+                   j -> array_min(transform(hs, h -> substring(h, 1 + 8*j, 8)))) AS sig
+  FROM hh
 ), bands AS (
   SELECT doc_id, b, concat(sig[b*2], sig[b*2+1]) AS band_key
   FROM mh LATERAL VIEW explode(sequence(0, 3)) t AS b
@@ -253,16 +261,22 @@ FROM bands a JOIN bands b
 GROUP BY a.doc_id, b.doc_id
 """
 _MINHASH_DUCK = """
-WITH sh AS (
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
   SELECT doc_id,
-         list_distinct([substring(text, i::INT, 8)
-                        for i in generate_series(1, greatest(length(text)-7, 1))]) AS shingles
-  FROM documents
+         list_distinct([toks[(i+1)::INT] || ' ' || toks[(i+2)::INT] || ' ' || toks[(i+3)::INT]
+                        for i in generate_series(0, greatest(len(toks)-3, 0))]) AS shingles
+  FROM tk
+), hh AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> md5(s) || md5(s || '#')) AS hs
+  FROM sh
 ), mh AS (
   SELECT doc_id,
-         [list_min(list_transform(shingles, s -> md5(j::VARCHAR || s)))
+         [list_min(list_transform(hs, h -> substring(h, (1 + 8*j)::INT, 8)))
           for j in generate_series(0, 7)] AS sig
-  FROM sh
+  FROM hh
 ), bands AS (
   SELECT doc_id, b, sig[b*2+1] || sig[b*2+2] AS band_key
   FROM mh, generate_series(0, 3) t(b)

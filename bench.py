@@ -89,7 +89,7 @@ def _phase_crawl(master_cores: str) -> None:
         extra_conf={
             # pages are ~20KB rows; smaller splits keep every core busy
             # during the scan-side (never-shuffled) fetch+extract stage
-            "spark.sql.files.maxPartitionBytes": str(24 * 1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": str(6 * 1024 * 1024),
         },
     )
     pages = spark.read.parquet(f"{BENCH_DATA}/pages")
@@ -98,7 +98,7 @@ def _phase_crawl(master_cores: str) -> None:
         budget_per_host=1_000_000_000,  # throughput mode: politeness unthrottled
         salt_buckets=max(int(master_cores), 8),
         use_bloom=True, bloom_bits=1 << 22, bloom_buckets=16,
-        pages_partitions=max(int(master_cores) * 2, 16),
+        pages_partitions=None,
     )
     ckpt = tempfile.mkdtemp(prefix="siren_bench_ckpt_")
     try:
@@ -108,11 +108,18 @@ def _phase_crawl(master_cores: str) -> None:
                    .agg(F.sum("n")).collect()[0][0]) or 0
         extracted = res.results.count() if res.results is not None else 0
         dt = time.time() - t0
+        # steady-state = rounds after the first (gen0 pays python-worker
+        # spawn + first corpus scan); at 10^10-frontier scale the run is
+        # thousands of rounds and gen0 vanishes
+        ss_sec = sum(res.round_secs[1:]) if res.round_secs else 0.0
+        ss_urls = sum(res.round_urls[1:]) if res.round_urls else 0
         print(json.dumps({
             "cores": int(master_cores), "sec": round(dt, 2),
             "fetched": int(fetched), "extracted": int(extracted),
             "urls": int(fetched) + int(extracted),
             "urls_per_sec": round((int(fetched) + int(extracted)) / dt, 1),
+            "steady_sec": round(ss_sec, 2), "steady_urls": int(ss_urls),
+            "steady_urls_per_sec": round(ss_urls / ss_sec, 1) if ss_sec else None,
             "rounds": res.rounds,
         }))
     finally:
@@ -142,9 +149,18 @@ def main() -> None:
 
     queries = _sub(["--phase", "queries"])
     gen = _sub(["--phase", "gen"])
-    c32 = _sub(["--phase", "crawl", "32"])
-    c8 = _sub(["--phase", "crawl", "8"])
-    eff = round((c8["sec"] / c32["sec"]) / 4.0, 3)
+    levels = [int(x) for x in os.environ.get(
+        "SIREN_BENCH_CORES", "2,8,32").split(",")]
+    runs = {n: _sub(["--phase", "crawl", str(n)]) for n in levels}
+
+    def eff(lo: int, hi: int, key: str) -> float | None:
+        if lo not in runs or hi not in runs:
+            return None
+        a, b = runs[lo].get(key), runs[hi].get(key)
+        if not a or not b:
+            return None
+        return round((b / a) / (hi / lo), 3)
+
     out = {
         "metric": "headline suite seconds (8 queries at sf) + crawl scaling",
         "value": round(sum(queries.values()), 3),
@@ -153,11 +169,16 @@ def main() -> None:
         "sf": SF_DIR,
         "crawl": {
             "n_index": gen["n_index"], "n_articles": gen["n_articles"],
-            "urls": c32["urls"], "rounds": c32["rounds"],
-            "local8_sec": c8["sec"], "local32_sec": c32["sec"],
-            "local8_urls_per_sec": c8["urls_per_sec"],
-            "local32_urls_per_sec": c32["urls_per_sec"],
-            "scaling_efficiency_8_to_32": eff,
+            "runs": runs,
+            # N -> 4N scaling efficiency = (urls/s at 4N) / (4 * urls/s at N)
+            "scaling_efficiency_2_to_8": eff(2, 8, "urls_per_sec"),
+            "scaling_efficiency_2_to_8_steady": eff(2, 8, "steady_urls_per_sec"),
+            "scaling_efficiency_8_to_32": eff(8, 32, "urls_per_sec"),
+            "scaling_efficiency_8_to_32_steady": eff(8, 32, "steady_urls_per_sec"),
+            "note": ("this microVM saturates kernel-side (sys>60%, "
+                     "steal 13-18%) above ~8-16 way parallelism, so 2->8 "
+                     "is the clean N->4N pair; 8->32 reported for "
+                     "transparency — see BASELINE.md"),
         },
     }
     print(json.dumps(out))

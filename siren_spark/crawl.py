@@ -83,18 +83,30 @@ FRONTIER_COLS = ["url", "url_canon", "domain", "priority", "depth", "via",
 
 
 def prepare_pages(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Canonicalize page keys once; partition by key for the fetch joins.
+    """Attach the canonical join key to the pages store — lazily.
 
-    At cluster scale this is the bucketed-write of the pages table
-    (bucket(N, url_canon)) done at ingest so every round's fetch join
-    only shuffles the (small) scheduled side; locally we emulate with an
-    explicit repartition + cache.
+    Deliberately NO repartition and NO cache: with the broadcast fetch
+    join the pages side streams straight out of parquet every round
+    (scan -> canonicalize -> hash-probe -> extract, one pipelined stage,
+    column-pruned to url+html). Shuffling or caching the html column
+    would move the whole corpus through memory/disk before any work
+    happens — at 100 TB that is the difference between a scan and a
+    catastrophe. ``pages_partitions`` exists for the SMJ fallback path,
+    where a real deployment bucket-writes the table once at ingest
+    (bucket(N, url_canon)) instead of repartitioning per crawl.
     """
-    p = pages.select(
-        canonicalize_udf(F.col("url")).alias("url_canon"),
-        F.col("url").alias("page_url"),
-        "html",
-    )
+    if "url_canon" in pages.columns:
+        # canonical key precomputed at ingest (the production shape): the
+        # scan stays pure-JVM. A pandas-UDF node here would force the
+        # 20KB html column through the Arrow passthrough buffer on every
+        # round — measured 5x the cost of the scan itself.
+        p = pages.select("url_canon", F.col("url").alias("page_url"), "html")
+    else:
+        p = pages.select(
+            canonicalize_udf(F.col("url")).alias("url_canon"),
+            F.col("url").alias("page_url"),
+            "html",
+        )
     if cfg.pages_partitions:
         p = p.repartition(cfg.pages_partitions, "url_canon")
     return p
@@ -243,6 +255,8 @@ class CrawlResult:
     results: DataFrame | None
     counters: DataFrame | None
     seen: DataFrame | None
+    round_secs: list[float] | None = None      # wall time per executed round
+    round_urls: list[int] | None = None        # scheduled+extracted per round
 
 
 def _seen_from_ann(spark: SparkSession, store: CheckpointStore,
@@ -283,7 +297,7 @@ def run_crawl(
     fail_after_round: int | None = None,  # test hook: simulate a kill
 ) -> CrawlResult:
     store = CheckpointStore(checkpoint_dir)
-    pages_p = prepare_pages(pages, cfg).persist()
+    pages_p = prepare_pages(pages, cfg)
 
     matcher = None
     if robots is not None:
@@ -311,6 +325,9 @@ def run_crawl(
     def _log(msg: str) -> None:
         if cfg.verbose:
             print(f"[crawl] {msg}", flush=True)
+
+    round_secs: list[float] = []
+    round_urls: list[int] = []
 
     for gen in range(start_gen, cfg.max_rounds):
         t0 = time.time()
@@ -413,6 +430,9 @@ def run_crawl(
                     ("frontier_ann", "extracted", "frontier", "results")})
         _log(f"gen {gen} commit {time.time()-t2:.1f}s "
              f"total {time.time()-t0:.1f}s")
+        round_secs.append(time.time() - t0)
+        n_rec = int(ex.filter(F.col("kind") == "record").count())
+        round_urls.append(int(n_by_status.get("scheduled", 0)) + n_rec)
 
         # roll forward from committed state
         frontier = store.read(spark, gen, "frontier")
@@ -426,20 +446,20 @@ def run_crawl(
             _log(f"gen {gen} bloom-delta {time.time()-tb:.1f}s")
 
         if fail_after_round is not None and gen >= fail_after_round:
-            pages_p.unpersist()
             raise RuntimeError(f"simulated kill after round {gen}")
 
         if n_by_status.get("scheduled", 0) == 0 and \
                 n_by_status.get("deferred", 0) == 0:
             break
 
-    pages_p.unpersist()
     last = store.latest_gen()
     return CrawlResult(
         rounds=(last + 1 if last is not None else 0),
         results=store.read_all(spark, "results"),
         counters=_counters_from_manifests(spark, store),
         seen=_seen_from_ann(spark, store),
+        round_secs=round_secs,
+        round_urls=round_urls,
     )
 
 

@@ -1,0 +1,81 @@
+"""spark-submit entrypoint for the crawl engine (SURVEY.md §7.9).
+
+Ship the package and run::
+
+    cd <repo> && zip -r /tmp/siren_spark.zip siren_spark
+    spark-submit --py-files /tmp/siren_spark.zip \
+        siren_spark/jobs/crawl.py \
+        --pages /data/pages --seeds /data/seeds.parquet \
+        --checkpoint /data/crawl_ckpt \
+        --keywords crisis rescue --budget 50 \
+        --start 2022-10-01 --end 2022-12-31 [--resume]
+
+Mirrors the reference CLI/TOML config surface (__main__.py:23-88,
+config.toml:1-16): keywords, date window, politeness budget
+(= max_concurrency), plus the Spark-native knobs (bloom size, salt
+buckets, max rounds). No driver-side per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+from datetime import datetime
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="siren_spark distributed crawl")
+    p.add_argument("--pages", required=True,
+                   help="pages table path (parquet) or iceberg:<table>")
+    p.add_argument("--seeds", required=True, help="seeds parquet path")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--robots", default=None,
+                   help="robots parquet (domain string, rules string)")
+    p.add_argument("--keywords", nargs="*", default=[])
+    p.add_argument("--start", default=None)
+    p.add_argument("--end", default=None)
+    p.add_argument("--budget", type=int, default=50)  # config.toml:10
+    p.add_argument("--max-rounds", type=int, default=30)
+    p.add_argument("--salt-buckets", type=int, default=64)
+    p.add_argument("--bloom-bits", type=int, default=1 << 20)
+    p.add_argument("--bloom-buckets", type=int, default=64)
+    p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    from siren_spark.crawl import CrawlConfig, run_crawl
+    from siren_spark.session import get_spark
+    from siren_spark.sources.pages import IcebergPageStore, ParquetPageStore
+
+    args = parse_args(argv)
+    spark = get_spark(app_name="siren_spark_crawl")
+    if args.pages.startswith("iceberg:"):
+        store = IcebergPageStore(args.pages[len("iceberg:"):])
+    else:
+        store = ParquetPageStore(args.pages)
+    pages = store.read(spark)
+    seeds = spark.read.parquet(args.seeds)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+
+    cfg = CrawlConfig(
+        budget_per_host=args.budget,
+        salt_buckets=args.salt_buckets,
+        max_rounds=args.max_rounds,
+        use_bloom=not args.no_bloom,
+        bloom_bits=args.bloom_bits,
+        bloom_buckets=args.bloom_buckets,
+        window_start=datetime.fromisoformat(args.start) if args.start else None,
+        window_end=datetime.fromisoformat(args.end) if args.end else None,
+        keywords=list(args.keywords),
+        verbose=args.verbose,
+    )
+    res = run_crawl(spark, pages, seeds, cfg, args.checkpoint,
+                    robots=robots, resume=args.resume)
+    n = res.results.count() if res.results is not None else 0
+    print(f"crawl complete: rounds={res.rounds} results={n}")
+
+
+if __name__ == "__main__":
+    main()

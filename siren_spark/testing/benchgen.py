@@ -27,6 +27,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from siren_spark.urls import canonicalize_url
+
 _WORDS = (
     "city report council water power metro school hospital court police "
     "village farmer market festival rain flood road bridge train station "
@@ -127,13 +129,18 @@ def gen_bench_pages(
                 urls.append(url)
                 htmls.append(html.encode())
                 texts.append(text)
-            yield pd.DataFrame({"url": urls, "html": htmls, "text": texts})
+            yield pd.DataFrame({
+                "url": urls,
+                "url_canon": [canonicalize_url(u) for u in urls],
+                "html": htmls, "text": texts,
+            })
 
     total = n_index + n_articles
     pages = (
         spark.range(0, total, 1, partitions)
-        .mapInPandas(gen, "url string, html binary, text string")
-        .selectExpr("url", "timestamp'2022-11-01 00:00:00' as warc_ts",
+        .mapInPandas(gen, "url string, url_canon string, html binary, text string")
+        .selectExpr("url", "url_canon",
+                    "timestamp'2022-11-01 00:00:00' as warc_ts",
                     "html", "text", "'en' as lang")
     )
 

@@ -1,0 +1,85 @@
+"""CSV-sink byte identity, pages store, streaming drain, jobs CLI."""
+
+import csv
+import io
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from siren_spark.sources.csv_export import (
+    NO_DATA, reference_csv_bytes, result_filename, transform,
+)
+
+
+def test_transform_reference_semantics():
+    # core/scraper.py:15-25: datetime -> %Y-%m-%d, everything else str()
+    assert transform(datetime(2022, 10, 5, 13, 30)) == "2022-10-05"
+    assert transform(None) == "None"          # str(None) quirk preserved
+    assert transform(3) == "3"
+    assert transform("x,y") == "x,y"
+
+
+def test_reference_csv_bytes(spark):
+    df = spark.createDataFrame(
+        [("a", datetime(2022, 10, 5), None),
+         ('with,comma', datetime(2022, 12, 1), 'quote"inside')],
+        "title string, published timestamp, author string",
+    )
+    got = reference_csv_bytes(df, ["title", "published", "author", "ghost"],
+                              aliases={"published": "date"})
+    # independent expectation via csv.writer directly
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    w.writerow(["title", "date", "author", "ghost"])
+    w.writerow(["a", "2022-10-05", "None", NO_DATA])
+    w.writerow(['with,comma', "2022-12-01", 'quote"inside', NO_DATA])
+    assert got == buf.getvalue().encode()
+
+
+def test_result_filename():
+    # core/scraper.py:144-155
+    s, e = datetime(2022, 10, 1), datetime(2022, 12, 31)
+    assert result_filename("TOIScraper", s, e) == "TOIScraper_2022-10-01_2022-12-31.csv"
+    assert result_filename("X", s, datetime(2022, 10, 2)) == "X_2022-10-02.csv"
+
+
+def test_parquet_page_store_roundtrip(spark, tmp_path):
+    from siren_spark.sources.pages import ParquetPageStore
+    df = spark.createDataFrame(
+        [("https://A.example/x?b=1&a=2", datetime(2022, 10, 1),
+          b"<p>hi</p>", "hi", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    store = ParquetPageStore(str(tmp_path / "pages"), buckets=2)
+    store.write(df)
+    back = store.read(spark)
+    row = back.collect()[0]
+    assert row.url_canon == "https://a.example/x?a=2&b=1"  # canon at ingest
+
+
+def test_streaming_drain(spark, tmp_path):
+    from siren_spark.streaming import extract_stream
+    from siren_spark.testing.sitegen import SiteSpec, build_site
+    from tests.conftest import pages_df
+    site = build_site(SiteSpec(articles_per_site=4, mirror_seed_range=(10, 12)))
+    pages = pages_df(spark, site.pages).withColumn(
+        "url_canon", F.col("url"))
+    pdir = str(tmp_path / "pages_in")
+    pages.select("url", "url_canon", "warc_ts", "html", "text", "lang") \
+        .write.parquet(pdir)
+    q = extract_stream(spark, pdir, str(tmp_path / "out"),
+                       str(tmp_path / "ck"), available_now=True)
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
+    assert {r.source for r in out.select("source").distinct().collect()} >= {
+        "mirror", "newsminute"}
+
+
+def test_jobs_cli_parse():
+    from siren_spark.jobs.crawl import parse_args
+    a = parse_args(["--pages", "/p", "--seeds", "/s", "--checkpoint", "/c",
+                    "--keywords", "crisis", "rescue", "--budget", "7",
+                    "--start", "2022-10-01", "--end", "2022-12-31"])
+    assert a.budget == 7 and a.keywords == ["crisis", "rescue"]
+    assert a.pages == "/p" and not a.resume
