@@ -461,6 +461,73 @@ SELECT CAST(CASE WHEN d0 > 0 THEN 8 ELSE 0 END
 FROM b GROUP BY 1
 """
 
+# embedding near-dup: LSH sign-bucket blocking (same 4 hyperplanes as
+# ann_lsh_buckets) -> exact cosine within bucket -> threshold. The
+# blocked self-join is the 10^10-scale shape (pairs only within buckets).
+_EMB_DEDUP_SPARK = """
+WITH e AS (
+  SELECT vec_id,
+         transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ev
+  FROM embeddings
+), bb AS (
+  SELECT vec_id, ev,
+         CASE WHEN aggregate(zip_with(ev, transform(sequence(0, size(ev)-1), i -> CAST((i * 1 + 7) % 13 - 6 AS BIGINT)), (x, h) -> x * h), 0L, (acc, v) -> acc + v) > 0 THEN 8 ELSE 0 END
+       + CASE WHEN aggregate(zip_with(ev, transform(sequence(0, size(ev)-1), i -> CAST((i * 2 + 7) % 13 - 6 AS BIGINT)), (x, h) -> x * h), 0L, (acc, v) -> acc + v) > 0 THEN 4 ELSE 0 END
+       + CASE WHEN aggregate(zip_with(ev, transform(sequence(0, size(ev)-1), i -> CAST((i * 3 + 7) % 13 - 6 AS BIGINT)), (x, h) -> x * h), 0L, (acc, v) -> acc + v) > 0 THEN 2 ELSE 0 END
+       + CASE WHEN aggregate(zip_with(ev, transform(sequence(0, size(ev)-1), i -> CAST((i * 5 + 7) % 13 - 6 AS BIGINT)), (x, h) -> x * h), 0L, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END AS bucket
+  FROM e
+), p AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         aggregate(zip_with(x.ev, y.ev, (u, v) -> u * v), 0L, (acc, v) -> acc + v) AS dot,
+         aggregate(transform(x.ev, u -> u * u), 0L, (acc, v) -> acc + v) AS nx,
+         aggregate(transform(y.ev, u -> u * u), 0L, (acc, v) -> acc + v) AS ny
+  FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)), 6) AS cosine
+FROM p
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) >= 0.35
+"""
+_EMB_DEDUP_DUCK = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS ev
+  FROM embeddings
+), bb AS (
+  SELECT vec_id, ev,
+         CASE WHEN CAST(list_sum([ev[i+1] * ((i * 1 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 8 ELSE 0 END
+       + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 2 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 4 ELSE 0 END
+       + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 3 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 2 ELSE 0 END
+       + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 5 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bucket
+  FROM e
+), p AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         CAST(list_sum(list_transform(list_zip(x.ev, y.ev), q -> q[1] * q[2])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(x.ev, u -> u * u)) AS BIGINT) AS nx,
+         CAST(list_sum(list_transform(y.ev, u -> u * u)) AS BIGINT) AS ny
+  FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)), 6) AS cosine
+FROM p
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) >= 0.35
+"""
+
+# BPE-ish regex tokenizer: runs of letters | digits | single non-space
+# symbol (the whitespace+symbol split a byte-level BPE pre-tokenizer does)
+_TOK_BPE_SPARK = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+_TOK_BPE_DUCK = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
 # text analysis ------------------------------------------------------------
 _LANGID = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -526,8 +593,10 @@ _REGISTRY: dict[str, tuple] = {
     "ann_cosine_brute": _q(_ANN_SPARK, _ANN_DUCK),
     "ann_cosine_topk": _q(_ANN_TOPK_SPARK, _ANN_TOPK_DUCK),
     "ann_lsh_buckets": _q(_IVF_SPARK, _IVF_DUCK),
+    "dedup_embedding_cosine": _q(_EMB_DEDUP_SPARK, _EMB_DEDUP_DUCK),
     "text_langid": _q(_LANGID),
     "text_token_count": _q(_TOKCOUNT),
+    "text_token_bpe": _q(_TOK_BPE_SPARK, _TOK_BPE_DUCK),
     "text_quality_score": _q(_QUALITY),
     "doc_fingerprint": _q(_FINGERPRINT, _FINGERPRINT_DUCK),
 }

@@ -1,0 +1,131 @@
+"""Unit tests for the standalone public operators (SURVEY §2/§4 customs)."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from siren_spark.operators.politeness import politeness_schedule
+from siren_spark.operators.robots import RobotsMatcher, parse_robots, robots_gate
+from siren_spark.operators.seen import build_bloom, filter_unseen, merge_blooms
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(
+        rows, "url_canon string, domain string, priority double")
+
+
+def test_politeness_budget_and_determinism(spark):
+    rows = [(f"https://d{i % 3}.example/{j}", f"d{i % 3}.example", 1.0 / (j + 1))
+            for i in range(3) for j in range(20)]
+    df = _frontier(spark, rows)
+    sched, deferred = politeness_schedule(df, budget_per_host=5, salt_buckets=4)
+    per_dom = {r.domain: r.n for r in
+               sched.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 5 for n in per_dom.values())
+    assert sched.count() + deferred.count() == df.count()
+    # deterministic: the same top-k regardless of partitioning
+    a = sorted(r.url_canon for r in sched.collect())
+    sched2, _ = politeness_schedule(df.repartition(7), budget_per_host=5,
+                                    salt_buckets=2)
+    assert sorted(r.url_canon for r in sched2.collect()) == a
+    # highest-priority rows win
+    top = sorted(r.url_canon for r in sched.filter("domain = 'd0.example'").collect())
+    assert all("/0" in u or "/1" in u or "/2" in u or "/3" in u or "/4" in u
+               for u in top)
+
+
+def test_parse_robots_groups_and_wildcards():
+    body = """
+User-agent: googlebot
+Disallow: /g/
+
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow: /*.pdf$
+
+User-agent: other
+Disallow: /
+"""
+    rules = parse_robots(body)
+    assert (False, "/private/") in rules
+    assert (True, "/private/ok") in rules
+    assert (False, "/*.pdf$") in rules
+    assert (False, "/g/") not in rules          # googlebot group ignored
+    assert (False, "/") not in rules            # 'other' group ignored
+
+    m = RobotsMatcher([("d.example", body)])
+    assert not m.allowed("d.example", "https://d.example/private/x")
+    assert m.allowed("d.example", "https://d.example/private/ok/y")  # longest match
+    assert not m.allowed("d.example", "https://d.example/doc.pdf")
+    assert m.allowed("d.example", "https://d.example/doc.pdfx")      # $ anchor
+    assert m.allowed("d.example", "https://d.example/open")
+    assert m.allowed("other.example", "https://other.example/private/x")  # no rules
+
+
+def test_empty_disallow_allows_everything():
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+
+def test_robots_gate_split(spark):
+    robots = spark.createDataFrame(
+        [("blocked.example", "User-agent: *\nDisallow: /\n")],
+        "domain string, rules string")
+    df = _frontier(spark, [
+        ("https://blocked.example/a", "blocked.example", 1.0),
+        ("https://open.example/a", "open.example", 1.0),
+    ])
+    allowed, blocked = robots_gate(df, robots)
+    assert [r.domain for r in allowed.collect()] == ["open.example"]
+    assert [r.domain for r in blocked.collect()] == ["blocked.example"]
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    seen = spark.createDataFrame(
+        [(f"https://x.example/{i}",) for i in range(500)], "url_canon string")
+    bf = build_bloom(seen, "url_canon", bits_per_bucket=1 << 14, buckets=4)
+    probe = spark.createDataFrame(
+        [(f"https://x.example/{i}",) for i in range(1000)], "url_canon string")
+    from pyspark.sql.functions import col, lit, xxhash64
+    from siren_spark.operators.seen import _SEED2
+    hashed = probe.select(
+        "url_canon", xxhash64(col("url_canon")).alias("h1"),
+        xxhash64(col("url_canon"), lit(_SEED2)).alias("h2")).collect()
+    import numpy as np
+    h1 = np.array([r.h1 for r in hashed], dtype=np.int64)
+    h2 = np.array([r.h2 for r in hashed], dtype=np.int64)
+    maybe = bf.might_contain_np(h1, h2)
+    # no false negatives on the 500 seen keys
+    assert all(maybe[i] for i, r in enumerate(hashed)
+               if int(r.url_canon.rsplit("/", 1)[1]) < 500)
+
+    other = spark.createDataFrame([("https://y.example/1",)], "url_canon string")
+    merged = merge_blooms(bf, build_bloom(other, "url_canon",
+                                          bits_per_bucket=1 << 14, buckets=4))
+    h = spark.createDataFrame([("https://y.example/1",)], "url_canon string") \
+        .select(xxhash64(col("url_canon")).alias("h1"),
+                xxhash64(col("url_canon"), lit(_SEED2)).alias("h2")).collect()[0]
+    assert merged.might_contain_np(np.array([h.h1], dtype=np.int64),
+                                   np.array([h.h2], dtype=np.int64))[0]
+
+
+def test_filter_unseen_bloom_equals_exact(spark):
+    frontier = spark.createDataFrame(
+        [(f"https://x.example/{i}",) for i in range(300)], "url_canon string")
+    seen = spark.createDataFrame(
+        [(f"https://x.example/{i}",) for i in range(0, 300, 3)],
+        "url_canon string")
+    exact = sorted(r.url_canon for r in
+                   filter_unseen(frontier, seen, bloom=False).collect())
+    bloom = sorted(r.url_canon for r in
+                   filter_unseen(frontier, seen, bloom=True,
+                                 bits_per_bucket=1 << 12, buckets=2).collect())
+    assert exact == bloom
+    assert len(exact) == 200
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="ab/", min_size=1, max_size=6), max_size=8))
+def test_robots_matcher_never_crashes(paths):
+    body = "User-agent: *\n" + "\n".join(f"Disallow: /{p}" for p in paths)
+    m = RobotsMatcher([("d.example", body)])
+    m.allowed("d.example", "https://d.example/abc")
