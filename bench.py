@@ -102,6 +102,14 @@ def _phase_crawl(master_cores: str) -> None:
     )
     ckpt = tempfile.mkdtemp(prefix="siren_bench_ckpt_")
     try:
+        # pre-warm python workers (the local-mode analog of executors
+        # already being provisioned on a cluster) so round 0 measures
+        # crawl work, not process spawn
+        from siren_spark.functions.udfs import canonicalize_udf
+        spark.range(0, int(master_cores) * 4, 1, int(master_cores) * 4) \
+            .select(canonicalize_udf(F.concat(F.lit("https://w.example/"),
+                                              F.col("id").cast("string")))) \
+            .write.format("noop").mode("overwrite").save()
         t0 = time.time()
         res = run_crawl(spark, pages, seeds, cfg, ckpt)
         fetched = (res.counters.filter(F.col("metric") == "fetched")

@@ -222,7 +222,11 @@ def _annotate_round(
               F.lit("scheduled"))
         .otherwise(F.lit("deferred"))
     )
-    return df.select(*FRONTIER_COLS, status.alias("status"))
+    # partition_id = physical lineage (which task decided this row's
+    # fate); together with (gen, domain, status) this is the queryable
+    # per-partition lineage the checkpoints carry (SURVEY.md §1.4)
+    return df.select(*FRONTIER_COLS, status.alias("status"),
+                     F.spark_partition_id().alias("partition_id"))
 
 
 def _apply_result_filters(records: DataFrame, cfg: CrawlConfig) -> DataFrame:
