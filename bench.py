@@ -27,7 +27,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_DATA = os.environ.get("SIREN_BENCH_DATA", "/tmp/siren_bench_web")
-N_INDEX = int(os.environ.get("SIREN_BENCH_INDEX", "3000"))
+N_INDEX = int(os.environ.get("SIREN_BENCH_INDEX", "2000"))
 LINKS = int(os.environ.get("SIREN_BENCH_LINKS", "50"))
 
 HEADLINE = [
@@ -170,7 +170,7 @@ def main() -> None:
         with open(marker, "w") as f:
             json.dump({"params": want, "result": gen}, f)
     levels = [int(x) for x in os.environ.get(
-        "SIREN_BENCH_CORES", "2,8,32").split(",")]
+        "SIREN_BENCH_CORES", "2,8").split(",")]
     runs = {n: _sub(["--phase", "crawl", str(n)]) for n in levels}
 
     def eff(lo: int, hi: int, key: str) -> float | None:

@@ -610,8 +610,22 @@ def parse_page(url: str, payload: str, meta: dict | None = None) -> ParseResult:
     if fn is None:
         return ParseResult()
     try:
-        return fn(payload, url, meta or {})  # type: ignore[operator]
+        res = fn(payload, url, meta or {})  # type: ignore[operator]
     except Exception as e:
         # error isolation: drop the row, keep the batch (mirror.py:81-85),
         # surface the error for the counters table (SURVEY.md §1.4)
         return ParseResult(error=f"{type(e).__name__}: {e}")
+    # within-page link dedup, first occurrence wins — the reference's
+    # done-set suppresses later duplicates in task-creation order
+    # (ht.py:242-247). Without this, two same-url links with different
+    # meta from one page would tie on every frontier sort key and the
+    # dedup representative would be partition-order-dependent.
+    if res.links:
+        seen: set[str] = set()
+        uniq = []
+        for link in res.links:
+            if link.url not in seen:
+                seen.add(link.url)
+                uniq.append(link)
+        res.links = uniq
+    return res

@@ -91,7 +91,12 @@ def index_page(i: int, links_per_index: int, n_domains: int,
     domain = _dom(i, n_domains)
     url = f"https://{domain}/getsearchdata.cms?pagenumber={i}&query=crisis"
     aids = list(range(i * links_per_index, (i + 1) * links_per_index))
-    aids += aids[:dup_links]  # duplicate discoveries -> dedup work
+    # cross-page duplicate discoveries (the within-page ones are removed
+    # by the kernels' reference done-set semantics): when the next index
+    # shares this page's domain, also link its first few articles
+    if _dom(i + 1, n_domains) == domain:
+        aids += list(range((i + 1) * links_per_index,
+                           (i + 1) * links_per_index + dup_links))
     anchors = "".join(f'<a href="/story-{a}">x</a>' for a in aids)
     html = (
         '<html><body><div class="searchcontent">' + anchors
