@@ -134,6 +134,7 @@ def _annotate_round(
     matcher: RobotsMatcher | None,
     bloom: BloomFilter | None,
     seen_exact: DataFrame | None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """One plan: robots -> dedup -> seen -> politeness, as a status column."""
     spark = frontier.sparkSession
@@ -180,6 +181,12 @@ def _annotate_round(
             df = df.withColumn("__maybe", maybe_udf(
                 F.xxhash64(F.col("url_canon")),
                 F.xxhash64(F.col("url_canon"), F.lit(_SEED2))))
+            # the definite/candidate split consumes df twice; without a
+            # cache the whole upstream (canonicalize UDF + dedup window +
+            # bloom probe) is computed twice — persist the small frame
+            df = df.persist()
+            if cache_registry is not None:
+                cache_registry.append(df)
             definite = df.filter(~F.col("__maybe")).withColumn(
                 "__seen", F.lit(False))
             candidates = (
@@ -337,9 +344,13 @@ def run_crawl(
         t0 = time.time()
 
         # ---- job 1: annotate + commit scheduling decisions -------------
+        caches: list = []
         ann = _annotate_round(frontier, cfg=cfg, matcher=matcher,
-                              bloom=bloom, seen_exact=seen_exact)
+                              bloom=bloom, seen_exact=seen_exact,
+                              cache_registry=caches)
         ann_path = store.stage_table(gen, "frontier_ann", ann)
+        for c in caches:
+            c.unpersist()
         ann_r = spark.read.parquet(ann_path)
         n_by_status = {r["status"]: r["n"] for r in
                        ann_r.groupBy("status").agg(F.count("*").alias("n"))

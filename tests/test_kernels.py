@@ -181,3 +181,40 @@ def test_htmlmini_text_and_selectors():
     assert root.select_one("#a > p").text == "one"
     assert [n.text for n in root.select("li > a")] == ["three"]
     assert root.select_one("div:nth-child(1)") is not None
+
+
+def test_entity_decoding_matches_reference_semantics():
+    """html.parser decodes charrefs into text (bs4 html.parser backend
+    does the same) — extracted text must carry the decoded characters."""
+    html = (
+        '<html><body><div class="articletsection"><h1>T &lt;x&gt; &amp; Y</h1>'
+        "<h2>H</h2></div>"
+        '<div id="contentbox"><div><p>A &amp; B &quot;q&quot; caf&#233;</p>'
+        "<p>second &gt; first</p></div></div></body></html>"
+    )
+    res = parse_page("https://tg-online.example/news/e1", html, {})
+    (rec,) = res.records
+    assert rec["title"] == "T <x> & Y"
+    assert rec["text"] == 'A & B "q" café\nsecond > first'
+
+
+def test_nested_tags_inside_paragraphs():
+    """bs4 .text concatenates descendant strings — nested inline tags
+    contribute their text in document order with no separators."""
+    html = (
+        '<div id="contentbox"><div>'
+        "<p>a <b>bold</b> and <i>ital<u>ic</u></i> end</p></div></div>"
+    )
+    res = parse_page("https://tg-online.example/news/e2", html, {})
+    assert res.records[0]["text"] == "a bold and italic end"
+
+
+def test_sitegen_byte_identity_other_seeds():
+    """the oracle independence holds for arbitrary seeds, not just 42."""
+    for seed in (7, 1234):
+        site = build_site(SiteSpec(seed=seed, articles_per_site=6,
+                                   mirror_seed_range=(10, 13)))
+        got = _crawl_all(site)
+        gm = {(r["source"], r["url"], r["text"]) for r in got}
+        for e in site.expected:
+            assert (e["source"], e["url"], e["text"]) in gm, (seed, e["url"])
