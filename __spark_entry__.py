@@ -568,6 +568,42 @@ FROM documents
 _FINGERPRINT_DUCK = _FINGERPRINT.replace("AS STRING", "AS VARCHAR")
 
 
+
+# ---------------------------------------------------------------------------
+# crawl-core UDFs oracle-checked: build a URL family from customer keys in
+# SQL, canonicalize with the engine's real pandas UDF, and compare to the
+# independently SQL-constructed canonical form.
+# ---------------------------------------------------------------------------
+
+def _q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from siren_spark.functions.udfs import canonicalize_udf, domain_udf
+    _views(spark, sf_dir)
+    raw = spark.sql("""
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               concat('HTTP://News', CAST(c_nationkey AS STRING),
+                      '.Example.COM:80/a/./b/../story-',
+                      CAST(c_custkey AS STRING),
+                      '?zeta=1&alpha=', CAST(c_nationkey AS STRING),
+                      '#frag') AS url
+        FROM customer
+    """)
+    return raw.select(
+        "c_custkey",
+        canonicalize_udf(F.col("url")).alias("url_canon"),
+        domain_udf(canonicalize_udf(F.col("url"))).alias("domain"),
+    )
+
+
+_CANON_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       'http://news' || CAST(c_nationkey AS VARCHAR)
+         || '.example.com/a/story-' || CAST(c_custkey AS VARCHAR)
+         || '?alpha=' || CAST(c_nationkey AS VARCHAR) || '&zeta=1' AS url_canon,
+       'example.com' AS domain
+FROM customer
+"""
+
 _REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": _q(_Q1_SPARK, _Q1_DUCK),
     "p1_date_window_filter": _q(_P1),
@@ -599,6 +635,7 @@ _REGISTRY: dict[str, tuple] = {
     "text_token_bpe": _q(_TOK_BPE_SPARK, _TOK_BPE_DUCK),
     "text_quality_score": _q(_QUALITY),
     "doc_fingerprint": _q(_FINGERPRINT, _FINGERPRINT_DUCK),
+    "k9_url_canonicalize": (_q_canonicalize, _CANON_ORACLE),
 }
 
 
