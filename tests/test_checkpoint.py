@@ -1,0 +1,62 @@
+"""Checkpoint commit-protocol edge cases (operators/checkpoint.py)."""
+
+import json
+import os
+
+from siren_spark.operators.checkpoint import CheckpointStore
+
+
+def _df(spark, n=3):
+    return spark.range(n).selectExpr("id", "cast(id as string) as s")
+
+
+def test_commit_then_read(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    store.write_round(0, {"t": _df(spark)}, stats={"x": 1})
+    assert store.latest_gen() == 0
+    assert store.manifest(0)["stats"] == {"x": 1}
+    assert store.read(spark, 0, "t").count() == 3
+
+
+def test_uncommitted_gen_invisible_and_cleaned(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    store.write_round(0, {"t": _df(spark)})
+    # simulate a kill: staged table for gen 1 but no manifest
+    store.stage_table(1, "t", _df(spark, 5))
+    assert store.latest_gen() == 0            # uncommitted -> invisible
+    # a new store (restart) must clear the stale dir before re-staging
+    store2 = CheckpointStore(str(tmp_path))
+    p = store2.stage_table(1, "other", _df(spark, 2))
+    gd = os.path.dirname(p)
+    assert sorted(os.listdir(gd)) == ["other"]  # stale 't' wiped
+    store2.write_round(1, {}, staged={"other": p})
+    assert store2.latest_gen() == 1
+    assert store2.read(spark, 1, "other").count() == 2
+
+
+def test_restage_same_run_keeps_earlier_tables(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    pa = store.stage_table(0, "a", _df(spark, 1))
+    pb = store.stage_table(0, "b", _df(spark, 2))  # must NOT wipe 'a'
+    store.write_round(0, {}, staged={"a": pa, "b": pb})
+    assert store.read(spark, 0, "a").count() == 1
+    assert store.read(spark, 0, "b").count() == 2
+
+
+def test_manifest_commit_is_atomic_rename(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    store.write_round(0, {"t": _df(spark)})
+    mdir = os.path.join(str(tmp_path), "_manifests")
+    assert os.listdir(mdir) == ["0.json"]     # no .tmp leftovers
+    with open(os.path.join(mdir, "0.json")) as f:
+        m = json.load(f)
+    assert m["gen"] == 0 and "t" in m["tables"]
+
+
+def test_read_all_unions_rounds(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    store.write_round(0, {"r": _df(spark, 2)})
+    store.write_round(1, {"r": _df(spark, 3)})
+    assert store.read_all(spark, "r").count() == 5
+    assert store.read_all(spark, "r", upto_gen=0).count() == 2
+    assert store.read_all(spark, "absent") is None
