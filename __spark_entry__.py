@@ -46,9 +46,11 @@ def _q(spark_sql: str, duck_sql: str | None = None):
 _Q1_SPARK = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT)                                   AS cnt,
-       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))               AS sum_qty_c,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))          AS sum_price_c,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                                                                  AS sum_qty_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                                                                  AS sum_price_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
                                                                   AS sum_disc_price_c
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -140,7 +142,7 @@ FROM (
 _A5 = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_c
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
 FROM events GROUP BY event_type
 """
 
@@ -165,13 +167,13 @@ GROUP BY user_id
 # J-family: joins / enrichment (SURVEY §2.3)
 # ---------------------------------------------------------------------------
 _J1_SPARK = """
-SELECT /*+ BROADCAST(part) */ p.p_brand AS brand,
+SELECT /*+ BROADCAST(p) */ p.p_brand AS brand,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS revenue_c
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
 """
-_J1_DUCK = _J1_SPARK.replace("/*+ BROADCAST(part) */ ", "")
+_J1_DUCK = _J1_SPARK.replace("/*+ BROADCAST(p) */ ", "")
 
 _J4 = """
 SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
@@ -239,9 +241,9 @@ WITH tk AS (
   SELECT doc_id, split(text, ' ') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
-         array_distinct(transform(sequence(0, greatest(size(toks)-3, 0)),
+         array_distinct(transform(sequence(0, size(toks)-3),
                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
-  FROM tk
+  FROM tk WHERE size(toks) >= 3
 ), hh AS (
   SELECT doc_id,
          transform(shingles, s -> concat(md5(s), md5(concat(s, '#')))) AS hs
@@ -266,8 +268,8 @@ WITH tk AS (
 ), sh AS (
   SELECT doc_id,
          list_distinct([toks[(i+1)::INT] || ' ' || toks[(i+2)::INT] || ' ' || toks[(i+3)::INT]
-                        for i in generate_series(0, greatest(len(toks)-3, 0))]) AS shingles
-  FROM tk
+                        for i in generate_series(0, len(toks)-3)]) AS shingles
+  FROM tk WHERE len(toks) >= 3
 ), hh AS (
   SELECT doc_id,
          list_transform(shingles, s -> md5(s) || md5(s || '#')) AS hs

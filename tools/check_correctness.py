@@ -40,6 +40,41 @@ def _norm(v) -> str:
     return str(v)
 
 
+# Spark simpleString dtype -> acceptable DuckDB type names. Anything not
+# listed here (notably HUGEINT from an uncast SUM(BIGINT), or DECIMAL)
+# is treated as a type mismatch: the driver's normalizer stringifies
+# such values differently even when Python round-trips them equal.
+_TYPE_COMPAT = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "binary": {"BLOB"},
+}
+
+
+def types_compatible(scols, stypes, dcols, dtypes) -> list[str]:
+    """Return list of 'col: spark_type vs duck_type' mismatches."""
+    smap = dict(zip(scols, stypes))
+    dmap = dict(zip(dcols, [str(t).upper() for t in dtypes]))
+    bad = []
+    for c, st in smap.items():
+        dt = dmap.get(c)
+        if dt is None:
+            continue  # schema check reports missing columns
+        allowed = _TYPE_COMPAT.get(st)
+        if allowed is not None and dt not in allowed:
+            bad.append(f"{c}: spark={st} duck={dt}")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -60,6 +95,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -71,6 +107,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes = rel.types
             drows = [tuple(r) for r in rel.fetchall()]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -78,13 +115,16 @@ def main() -> int:
             continue
         ok_rows = len(srows) == len(drows)
         ok_schema = sorted(scols) == sorted(dcols)
+        type_mismatches = types_compatible(scols, stypes, dcols, dtypes)
+        ok_types = not type_mismatches
         sh = value_hash(scols, srows)
         dh = value_hash(dcols, drows)
         ok_hash = sh == dh
-        status = "ok" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+        status = "ok" if (ok_rows and ok_schema and ok_hash and ok_types) else "FAIL"
         dt = time.time() - t0
         print(f"{status:5} {name}: rows {len(srows)}/{len(drows)} "
               f"schema={'=' if ok_schema else scols} hash={'=' if ok_hash else (sh[:8]+'!='+dh[:8])} "
+              f"types={'=' if ok_types else type_mismatches} "
               f"[{dt:.1f}s]")
         if status == "FAIL":
             failures.append(name)
