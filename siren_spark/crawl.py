@@ -46,7 +46,10 @@ from pyspark.sql import functions as F
 from siren_spark.functions.udfs import canonicalize_udf, domain_udf, extract_pages
 from siren_spark.operators.checkpoint import CheckpointStore
 from siren_spark.operators.robots import RobotsMatcher
-from siren_spark.operators.seen import BloomFilter, build_bloom, merge_blooms
+from siren_spark.operators.seen import (
+    BloomFilter, build_bloom, build_bloom_partials, merge_blooms,
+    or_reduce_bitmaps,
+)
 
 import pandas as pd
 
@@ -65,6 +68,22 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_bits: int = 1 << 20
     bloom_buckets: int = 16
+    # 'broadcast': driver-held filter broadcast whole (fast while total
+    #   bitmap is tens of MB); 'bucketed': filter lives as a (bucket,
+    #   bitmap) checkpoint table, probe cogroups frontier with bitmaps so
+    #   each task holds ONE bucket's bytes — the 10^10-URL path, where
+    #   the full filter (~12.5 GB) can live on no single machine;
+    # 'auto': bucketed once total bitmap bytes exceed 64 MB.
+    bloom_probe: str = "auto"
+    # compact the seen-set sources once more than this many tables back
+    # it (keeps every round's seen read at O(1) inputs, not O(rounds))
+    seen_compact_every: int = 8
+
+    def bloom_bucketed(self) -> bool:
+        if self.bloom_probe == "bucketed":
+            return True
+        return (self.bloom_probe == "auto"
+                and (self.bloom_bits // 8) * self.bloom_buckets > (64 << 20))
     window_start: datetime | None = None
     window_end: datetime | None = None
     keywords: list[str] = dc_field(default_factory=list)
@@ -133,6 +152,7 @@ def _annotate_round(
     cfg: CrawlConfig,
     matcher: RobotsMatcher | None,
     bloom: BloomFilter | None,
+    bloom_bitmaps: DataFrame | None = None,
     seen_exact: DataFrame | None,
     cache_registry: list | None = None,
 ) -> DataFrame:
@@ -167,7 +187,26 @@ def _annotate_round(
     if seen_exact is not None:
         seen_keys = seen_exact.select("url_canon").withColumn(
             "__hit", F.lit(True))
-        if bloom is not None and cfg.use_bloom:
+        if bloom_bitmaps is not None and cfg.use_bloom:
+            # bucketed probe: each task cogroups with exactly its
+            # bucket's bitmap — no executor ever holds the full filter
+            from siren_spark.operators.seen import probe_bloom_bucketed
+            df = probe_bloom_bucketed(
+                df, bloom_bitmaps, "url_canon",
+                bits_per_bucket=cfg.bloom_bits, buckets=cfg.bloom_buckets)
+            df = df.persist()
+            if cache_registry is not None:
+                cache_registry.append(df)
+            definite = df.filter(~F.col("__maybe")).withColumn(
+                "__seen", F.lit(False))
+            candidates = (
+                df.filter(F.col("__maybe"))
+                .join(seen_keys, "url_canon", "left")
+                .withColumn("__seen", F.coalesce(F.col("__hit"), F.lit(False)))
+                .drop("__hit")
+            )
+            df = definite.drop("__maybe").unionByName(candidates.drop("__maybe"))
+        elif bloom is not None and cfg.use_bloom:
             bcb = spark.sparkContext.broadcast(bloom)
 
             @F.pandas_udf("boolean")
@@ -270,30 +309,78 @@ class CrawlResult:
     round_urls: list[int] | None = None        # scheduled+extracted per round
 
 
-def _seen_from_ann(spark: SparkSession, store: CheckpointStore,
-                   upto_gen: int | None = None) -> DataFrame | None:
-    """The exact seen set = scheduled rows of every committed round's
-    annotated frontier (attempted = seen, ht.py:242-247)."""
-    last = store.latest_gen() if upto_gen is None else upto_gen
-    if last is None:
+def _seen_df(spark: SparkSession, sources: list[dict]) -> DataFrame | None:
+    """The exact seen set (attempted = seen, ht.py:242-247) from an
+    incremental source list: 'ann' entries are per-round annotated
+    frontiers (filtered to scheduled), 'compact' entries are url_canon-
+    only compaction tables. The list is bounded by seen_compact_every,
+    so reconstructing the seen set reads O(1) tables per round instead
+    of re-scanning every committed round's parquet (O(rounds^2) over a
+    run — fatal at thousands of rounds)."""
+    ann = [s["path"] for s in sources if s["kind"] == "ann"]
+    comp = [s["path"] for s in sources if s["kind"] == "compact"]
+    parts = []
+    if comp:
+        parts.append(spark.read.parquet(*comp).select("url_canon"))
+    if ann:
+        parts.append(spark.read.parquet(*ann)
+                     .filter(F.col("status") == "scheduled")
+                     .select("url_canon"))
+    if not parts:
         return None
-    paths = [store.manifest(g)["tables"]["frontier_ann"]
-             for g in range(last + 1)]
-    return (spark.read.parquet(*paths)
-            .filter(F.col("status") == "scheduled").select("url_canon"))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
-def _counters_from_manifests(spark: SparkSession,
-                             store: CheckpointStore) -> DataFrame | None:
-    last = store.latest_gen()
-    if last is None:
-        return None
-    rows = []
-    for g in range(last + 1):
-        for d, m, n in store.manifest(g)["stats"].get("counters", []):
-            rows.append((g, d, m, n))
-    return spark.createDataFrame(
-        rows, "gen int, domain string, metric string, n long")
+def _seen_sources_at(store: CheckpointStore, gen: int) -> list[dict]:
+    """Seen sources recorded in round ``gen``'s manifest (with a
+    fallback for checkpoints written before the incremental format:
+    every committed round's frontier_ann)."""
+    stats = store.manifest(gen)["stats"]
+    if "seen_sources" in stats:
+        return stats["seen_sources"]
+    return [{"path": store.manifest(g)["tables"]["frontier_ann"],
+             "kind": "ann"} for g in range(gen + 1)]
+
+
+# status -> user-facing counter metric (oracle.py semantics)
+_METRIC_OF_STATUS = {"blocked": "robots_blocked", "deduped": "deduped",
+                     "scheduled": "fetched", "deferred": "deferred"}
+
+
+def _round_counters(ann_r: DataFrame, ex: DataFrame, gen: int) -> DataFrame:
+    """Per-domain counters for one round as a (tiny, pre-aggregated)
+    DataFrame — never collected to the driver. A web frontier has
+    millions of registrable domains; this table is one row per
+    (domain, metric) and lives in the round's checkpoint, while the
+    manifest JSON keeps only whole-round rollups."""
+    metric_map = F.create_map(
+        *[F.lit(x) for kv in _METRIC_OF_STATUS.items() for x in kv])
+    ann_cnt = (ann_r.groupBy("domain", "status")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select("domain", metric_map[F.col("status")].alias("metric"),
+                       "n"))
+    exd = (ex.filter(F.col("kind").isin("page", "error"))
+           .select(domain_udf(F.col("url")).alias("domain"), "kind")
+           .groupBy("domain", "kind").agg(F.count(F.lit(1)).alias("n")))
+    errors = (exd.filter(F.col("kind") == "error")
+              .select("domain", F.lit("errors").alias("metric"), "n"))
+    # missing = scheduled but absent from the pages store (the
+    # reference's non-200 -> [] path, mirror.py:53)
+    sched = (ann_cnt.filter(F.col("metric") == "fetched")
+             .select("domain", F.col("n").alias("n_sched")))
+    hits = (exd.filter(F.col("kind") == "page")
+            .select("domain", F.col("n").alias("n_hit")))
+    missing = (sched.join(hits, "domain", "left")
+               .select("domain", F.lit("missing").alias("metric"),
+                       (F.col("n_sched") - F.coalesce(F.col("n_hit"),
+                                                      F.lit(0))).alias("n"))
+               .filter(F.col("n") > 0))
+    return (ann_cnt.unionByName(errors).unionByName(missing)
+            .select(F.lit(gen).alias("gen"), "domain", "metric",
+                    F.col("n").cast("long").alias("n")))
 
 
 def run_crawl(
@@ -316,19 +403,34 @@ def run_crawl(
             [(r["domain"], r["rules"]) for r in robots.collect()])
 
     bloom: BloomFilter | None = None
+    bloom_bitmaps: DataFrame | None = None   # bucketed-probe bitmap table
     seen_exact: DataFrame | None = None
+    bucketed = cfg.use_bloom and cfg.bloom_bucketed()
 
     def _build_delta_bloom(delta: DataFrame) -> BloomFilter:
         return build_bloom(delta, "url_canon",
                            bits_per_bucket=cfg.bloom_bits,
                            buckets=cfg.bloom_buckets)
 
+    def _delta_partials(delta: DataFrame) -> DataFrame:
+        return build_bloom_partials(delta, "url_canon",
+                                    bits_per_bucket=cfg.bloom_bits,
+                                    buckets=cfg.bloom_buckets)
+
+    seen_sources: list[dict] = []
     if resume and (last := store.latest_gen()) is not None:
         start_gen = last + 1
         frontier = store.read(spark, last, "frontier")
-        seen_exact = _seen_from_ann(spark, store, upto_gen=last)
+        seen_sources = _seen_sources_at(store, last)
+        seen_exact = _seen_df(spark, seen_sources)
         if cfg.use_bloom and seen_exact is not None:
-            bloom = _build_delta_bloom(seen_exact)
+            if bucketed:
+                bloom_path = store.manifest(last)["stats"].get("bloom_table")
+                bloom_bitmaps = (
+                    spark.read.parquet(bloom_path) if bloom_path
+                    else or_reduce_bitmaps(_delta_partials(seen_exact)))
+            else:
+                bloom = _build_delta_bloom(seen_exact)
     else:
         start_gen = 0
         frontier = _seeds_to_frontier(seeds)
@@ -346,7 +448,8 @@ def run_crawl(
         # ---- job 1: annotate + commit scheduling decisions -------------
         caches: list = []
         ann = _annotate_round(frontier, cfg=cfg, matcher=matcher,
-                              bloom=bloom, seen_exact=seen_exact,
+                              bloom=bloom, bloom_bitmaps=bloom_bitmaps,
+                              seen_exact=seen_exact,
                               cache_registry=caches)
         ann_path = store.stage_table(gen, "frontier_ann", ann)
         for c in caches:
@@ -405,44 +508,53 @@ def run_crawl(
         next_frontier = links.unionByName(
             ann_r.filter(F.col("status") == "deferred").select(*FRONTIER_COLS))
 
-        # per-domain counters, all from already-materialized tables; kept
-        # in the manifest (tiny) rather than a per-round parquet write
-        metric_of = {"blocked": "robots_blocked", "deduped": "deduped",
-                     "scheduled": "fetched", "deferred": "deferred"}
-        cnt: dict[tuple[str, str], int] = {}
-        sched_by_dom: dict[str, int] = {}
-        for r in (ann_r.groupBy("domain", "status")
-                  .agg(F.count(F.lit(1)).alias("n")).collect()):
-            cnt[(r["domain"], metric_of[r["status"]])] = r["n"]
-            if r["status"] == "scheduled":
-                sched_by_dom[r["domain"]] = r["n"]
-        hits_by_dom: dict[str, int] = {}
-        for r in (ex.filter(F.col("kind").isin("page", "error"))
-                  .withColumn("domain", domain_udf(F.col("url")))
-                  .groupBy("domain", "kind")
-                  .agg(F.count(F.lit(1)).alias("n")).collect()):
-            if r["kind"] == "page":
-                hits_by_dom[r["domain"]] = r["n"]
-            else:
-                cnt[(r["domain"], "errors")] = r["n"]
-        for dom, n in sched_by_dom.items():
-            miss = n - hits_by_dom.get(dom, 0)
-            if miss:
-                cnt[(dom, "missing")] = miss
-
         for name, df in (("frontier", next_frontier),
-                         ("results", results_round)):
+                         ("results", results_round),
+                         ("counters", _round_counters(ann_r, ex, gen))):
             tw = time.time()
             store.stage_table(gen, name, df)
             _log(f"gen {gen}   write {name} {time.time()-tw:.1f}s")
+
+        # seen bookkeeping: this round's scheduled rows extend the seen
+        # set; compact the source list every seen_compact_every rounds so
+        # reads stay O(1)-table (the compaction itself is one small
+        # url_canon-only write, amortized O(1) per round)
+        staged_tables = ["frontier_ann", "extracted", "frontier", "results",
+                         "counters"]
+        seen_sources = seen_sources + [{"path": ann_path, "kind": "ann"}]
+        if len(seen_sources) > cfg.seen_compact_every:
+            tw = time.time()
+            compact_path = store.stage_table(
+                gen, "seen_compact", _seen_df(spark, seen_sources))
+            seen_sources = [{"path": compact_path, "kind": "compact"}]
+            staged_tables.append("seen_compact")
+            _log(f"gen {gen}   seen-compact {time.time()-tw:.1f}s")
+
+        stats: dict = {
+            "by_status": {k: int(v) for k, v in n_by_status.items()},
+            "seen_sources": seen_sources,
+        }
+        if bucketed:
+            # bucketed filter state: OR the round's delta partials into
+            # the running bitmap table, fully distributed — the driver
+            # never materializes a bitmap, the checkpoint carries it
+            tb = time.time()
+            delta_r = (spark.read.parquet(ann_path)
+                       .filter(F.col("status") == "scheduled")
+                       .select("url_canon"))
+            partials = _delta_partials(delta_r)
+            if bloom_bitmaps is not None:
+                partials = bloom_bitmaps.unionByName(partials)
+            bloom_path = store.stage_table(
+                gen, "bloom", or_reduce_bitmaps(partials))
+            staged_tables.append("bloom")
+            stats["bloom_table"] = bloom_path
+            bloom_bitmaps = spark.read.parquet(bloom_path)
+            _log(f"gen {gen}   bloom-table {time.time()-tb:.1f}s")
+
         store.write_round(
-            gen, {},
-            stats={
-                "by_status": {k: int(v) for k, v in n_by_status.items()},
-                "counters": [[d, m, int(n)] for (d, m), n in cnt.items()],
-            },
-            staged={n: f"{store._gen_dir(gen)}/{n}" for n in
-                    ("frontier_ann", "extracted", "frontier", "results")})
+            gen, {}, stats=stats,
+            staged={n: f"{store._gen_dir(gen)}/{n}" for n in staged_tables})
         _log(f"gen {gen} commit {time.time()-t2:.1f}s "
              f"total {time.time()-t0:.1f}s")
         round_secs.append(time.time() - t0)
@@ -451,8 +563,8 @@ def run_crawl(
 
         # roll forward from committed state
         frontier = store.read(spark, gen, "frontier")
-        seen_exact = _seen_from_ann(spark, store, upto_gen=gen)
-        if cfg.use_bloom:
+        seen_exact = _seen_df(spark, seen_sources)
+        if cfg.use_bloom and not bucketed:
             tb = time.time()
             delta_r = (spark.read.parquet(ann_path)
                        .filter(F.col("status") == "scheduled")
@@ -471,8 +583,9 @@ def run_crawl(
     return CrawlResult(
         rounds=(last + 1 if last is not None else 0),
         results=store.read_all(spark, "results"),
-        counters=_counters_from_manifests(spark, store),
-        seen=_seen_from_ann(spark, store),
+        counters=store.read_all(spark, "counters"),
+        seen=(_seen_df(spark, _seen_sources_at(store, last))
+              if last is not None else None),
         round_secs=round_secs,
         round_urls=round_urls,
     )

@@ -12,12 +12,21 @@ URLs (SURVEY.md §4.3).
 Design notes for cluster scale:
 - hashes (xxhash64) are computed JVM-side; Python only ever sees int64
   numpy arrays — no per-row string crossings.
-- the filter is bucketed by ``hash % buckets`` so each executor builds a
-  partial bitmap for its partition's buckets; partials OR-combine on the
-  driver (tiny: bits/8 bytes total) and broadcast back.
-- at 10^10 URLs you'd raise ``bits`` to ~10^11 (12.5 GB across e.g. 1024
-  buckets → 12 MB per bucket, broadcast-able); the structure and code
-  path are identical at sandbox scale.
+- the filter is bucketed by ``hash % buckets``. Two probe paths:
+  * **broadcast** (small filters): partials OR-combine on the driver and
+    the whole filter broadcasts — every executor holds all buckets.
+    Right up to ~tens of MB of total bitmap; beyond that it is NOT the
+    scale path (10^10 URLs needs ~12.5 GB of bitmap, and broadcasting
+    that to every executor — or OR-merging it on the driver — is
+    exactly the bottleneck bucketing is supposed to avoid).
+  * **bucketed** (the 10^10 path): the filter lives as a DataFrame of
+    (bucket, bitmap) rows, maintained by a distributed OR-reduce
+    (``or_reduce_bitmaps``) with no driver copy, and the probe cogroups
+    the frontier with the bitmap table on bucket id
+    (``probe_bloom_bucketed``) so each task receives exactly its
+    bucket's bitmap — per-task filter bytes = one bucket (e.g. 12 MB of
+    a 12.5 GB filter at 1024 buckets), at the cost of one shuffle of
+    the (narrow) frontier by bucket.
 """
 
 from __future__ import annotations
@@ -86,27 +95,28 @@ def _hash_cols(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def build_bloom(
+def build_bloom_partials(
     df: DataFrame,
     col: str,
     *,
     bits_per_bucket: int = 1 << 20,
     num_hashes: int = 5,
     buckets: int = 16,
-) -> BloomFilter:
-    """Build a bucketed Bloom filter over ``df[col]`` distributedly.
+) -> DataFrame:
+    """Distributed Bloom build: (bucket, bitmap) rows, one per bucket.
 
-    Each task emits (bucket, partial bitmap) rows via mapInArrow; the
-    driver ORs partials per bucket. Shuffle-free: partials are built from
-    whatever rows land in each input partition.
+    Rows shuffle to their bucket first so each task emits exactly one
+    partial bitmap: total volume = B * m/8 bytes, independent of input
+    partitioning (without this, partials = partitions x buckets bitmaps).
+    The result is a DataFrame — callers either ``collect()`` it into a
+    driver-side :class:`BloomFilter` (small filters, broadcast probe) or
+    keep it distributed and OR-merge with :func:`or_reduce_bitmaps`
+    (the 10^10 path — the driver never holds a bitmap).
     """
     hashed = _hash_cols(df.select(col), col).select("__h1", "__h2")
     m = bits_per_bucket
     k = num_hashes
     B = buckets
-    # shuffle rows to their bucket so each task emits exactly one partial
-    # bitmap: collected volume = B * m/8 bytes, independent of input
-    # partitioning (without this, partials = partitions x buckets bitmaps)
     hashed = hashed.repartition(B, F.pmod(F.col("__h1"), F.lit(B)))
 
     def build(batches):
@@ -133,8 +143,94 @@ def build_bloom(
                                    pa.binary()),
             })
 
-    schema = "bucket int, bitmap binary"
-    partials = hashed.mapInArrow(build, schema).collect()
+    return hashed.mapInArrow(build, "bucket int, bitmap binary")
+
+
+def or_reduce_bitmaps(partials: DataFrame) -> DataFrame:
+    """OR-combine (bucket, bitmap) partials per bucket, distributedly.
+
+    The reduce shuffles only bitmap bytes (B rows), never URL rows, and
+    no single process ever holds more than one bucket's partials — this
+    is how the running filter is maintained at sizes where a driver-side
+    merge (``merge_blooms``) would hold the full multi-GB filter.
+    """
+    def orit(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitmap"]]
+        return pd.DataFrame({"bucket": [pdf["bucket"].iloc[0]],
+                             "bitmap": [np.bitwise_or.reduce(arrs).tobytes()]})
+
+    return partials.groupBy("bucket").applyInPandas(
+        orit, "bucket int, bitmap binary")
+
+
+def probe_bloom_bucketed(
+    df: DataFrame,
+    bitmaps: DataFrame,
+    key: str = "url_canon",
+    *,
+    bits_per_bucket: int = 1 << 20,
+    num_hashes: int = 5,
+    buckets: int = 16,
+    out_col: str = "__maybe",
+) -> DataFrame:
+    """Bucket-pruned Bloom probe: cogroup frontier rows with their
+    bucket's bitmap so each task deserializes exactly ONE bucket's
+    filter bytes (vs the broadcast probe, where every executor holds
+    every bucket). Costs one shuffle of the (narrow) frontier by bucket
+    — the trade that wins once the total filter exceeds broadcast size.
+
+    Adds boolean ``out_col``; rows in buckets with no bitmap are
+    definitely-new (False).
+    """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    m, k, B = bits_per_bucket, num_hashes, buckets
+    dfh = _hash_cols(df, key).withColumn(
+        "__bucket", F.pmod(F.col("__h1"), F.lit(B)).cast("int"))
+    out_schema = StructType(
+        dfh.schema.fields + [StructField(out_col, BooleanType())])
+    in_cols = [f.name for f in dfh.schema.fields]
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=[*in_cols, out_col])
+        # cogroup semantics guarantee at most one bitmap row per bucket
+        # (or_reduce_bitmaps emits one row per bucket) — this assert IS
+        # the per-task-bytes-=-one-bucket claim, enforced at runtime
+        assert len(right) <= 1, f"got {len(right)} bitmaps for one bucket"
+        if len(right) == 0:
+            left[out_col] = False
+            return left
+        bm = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+        h1 = left["__h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+        h2 = left["__h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+        acc = np.ones(len(left), dtype=bool)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            acc &= (bm[(idx >> np.uint64(3)).astype(np.int64)]
+                    >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        left[out_col] = acc
+        return left
+
+    probed = (dfh.groupBy("__bucket")
+              .cogroup(bitmaps.groupBy("bucket"))
+              .applyInPandas(probe, out_schema))
+    return probed.drop("__h1", "__h2", "__bucket")
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    *,
+    bits_per_bucket: int = 1 << 20,
+    num_hashes: int = 5,
+    buckets: int = 16,
+) -> BloomFilter:
+    """Driver-side :class:`BloomFilter` for the broadcast probe path
+    (small filters). Collected volume = B * m/8 bytes."""
+    partials = build_bloom_partials(
+        df, col, bits_per_bucket=bits_per_bucket,
+        num_hashes=num_hashes, buckets=buckets).collect()
     bitmaps: dict[int, np.ndarray] = {}
     for row in partials:
         bm = np.frombuffer(row.bitmap, dtype=np.uint8)
@@ -142,7 +238,7 @@ def build_bloom(
             bitmaps[row.bucket] = bitmaps[row.bucket] | bm
         else:
             bitmaps[row.bucket] = bm.copy()
-    return BloomFilter(m, k, B, bitmaps)
+    return BloomFilter(bits_per_bucket, num_hashes, buckets, bitmaps)
 
 
 def filter_unseen(
@@ -186,4 +282,5 @@ def filter_unseen(
     return definite_new.unionByName(confirmed_new)
 
 
-__all__ = ["BloomFilter", "build_bloom", "filter_unseen"]
+__all__ = ["BloomFilter", "build_bloom", "build_bloom_partials",
+           "or_reduce_bitmaps", "probe_bloom_bucketed", "filter_unseen"]

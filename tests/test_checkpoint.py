@@ -60,3 +60,46 @@ def test_read_all_unions_rounds(spark, tmp_path):
     assert store.read_all(spark, "r").count() == 5
     assert store.read_all(spark, "r", upto_gen=0).count() == 2
     assert store.read_all(spark, "absent") is None
+
+
+def test_seen_sources_compaction_bounds_inputs(spark, tmp_path):
+    """Seen-set reconstruction must read O(1) tables per round, not
+    O(rounds): with seen_compact_every=2 the recorded source list never
+    exceeds 3 entries, and the final seen set still equals the union of
+    every round's scheduled urls (the exact semantics)."""
+    from pyspark.sql import functions as F
+
+    from siren_spark.crawl import CrawlConfig, run_crawl
+    from siren_spark.operators.checkpoint import CheckpointStore
+    from siren_spark.testing.sitegen import (
+        SiteSpec, WINDOW_END, WINDOW_START, build_site,
+    )
+    from tests.conftest import pages_df, seeds_df
+
+    spec = SiteSpec(mirror_seed_range=(10, 19))
+    site = build_site(spec)
+    cfg = CrawlConfig(budget_per_host=7, window_start=WINDOW_START,
+                      window_end=WINDOW_END, keywords=spec.keywords,
+                      use_bloom=False, salt_buckets=2, seen_compact_every=2)
+    ckpt = str(tmp_path / "ck")
+    res = run_crawl(spark, pages_df(spark, site.pages),
+                    seeds_df(spark, site.seeds), cfg, ckpt)
+    assert res.rounds >= 3, "fixture must produce enough rounds to compact"
+
+    store = CheckpointStore(ckpt)
+    compacted_gens = 0
+    for g in range(res.rounds):
+        sources = store.manifest(g)["stats"]["seen_sources"]
+        assert len(sources) <= cfg.seen_compact_every + 1, (g, sources)
+        if any(s["kind"] == "compact" for s in sources):
+            compacted_gens += 1
+    assert compacted_gens >= 1, "compaction never triggered"
+
+    exact = set()
+    for g in range(res.rounds):
+        exact |= {r.url_canon for r in
+                  store.read(spark, g, "frontier_ann")
+                  .filter(F.col("status") == "scheduled")
+                  .select("url_canon").collect()}
+    got = {r.url_canon for r in res.seen.collect()}
+    assert got == exact

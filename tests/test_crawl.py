@@ -163,3 +163,28 @@ def test_robots_gating(spark, site, tmp_path):
     )
     assert blocked and blocked > 0
     assert res.results.filter(F.col("source") == "mirror").count() == 0
+
+
+def test_bucketed_bloom_equals_broadcast(spark, site, tmp_path, engine):
+    """The bucketed (cogroup) Bloom probe path crawls identically to the
+    broadcast path — and its bitmap table is committed/resumable."""
+    from siren_spark.operators.checkpoint import CheckpointStore
+    cfg = CrawlConfig(
+        budget_per_host=BUDGET, window_start=WINDOW_START,
+        window_end=WINDOW_END, keywords=SPEC.keywords,
+        use_bloom=True, bloom_bits=1 << 16, bloom_buckets=4, salt_buckets=4,
+        bloom_probe="bucketed",
+    )
+    ckpt = str(tmp_path / "ckb")
+    res = run_crawl(spark, pages_df(spark, site.pages),
+                    seeds_df(spark, site.seeds), cfg, ckpt)
+    a = sorted(_result_key(r.asDict()) for r in res.results.collect())
+    b = sorted(_result_key(r.asDict()) for r in engine.results.collect())
+    assert a == b
+    store = CheckpointStore(ckpt)
+    last = store.latest_gen()
+    m = store.manifest(last)
+    assert "bloom_table" in m["stats"]
+    bm = spark.read.parquet(m["stats"]["bloom_table"])
+    assert bm.count() <= 4                     # one row per bucket
+    assert set(bm.columns) == {"bucket", "bitmap"}

@@ -129,3 +129,66 @@ def test_robots_matcher_never_crashes(paths):
     body = "User-agent: *\n" + "\n".join(f"Disallow: /{p}" for p in paths)
     m = RobotsMatcher([("d.example", body)])
     m.allowed("d.example", "https://d.example/abc")
+
+
+def test_bucketed_probe_matches_broadcast_filter(spark):
+    """probe_bloom_bucketed must agree with the driver-side BloomFilter
+    on every row (same hashes, same bitmaps — only the delivery path
+    differs: cogroup-per-bucket vs whole-filter broadcast)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from siren_spark.operators.seen import (
+        build_bloom, build_bloom_partials, or_reduce_bitmaps,
+        probe_bloom_bucketed,
+    )
+
+    seen = spark.createDataFrame(
+        [(f"https://ex.com/a/{i}",) for i in range(300)], "url_canon string")
+    frontier = spark.createDataFrame(
+        [(f"https://ex.com/a/{i}",) for i in range(250, 400)]
+        + [(f"https://other.org/{i}",) for i in range(50)],
+        "url_canon string")
+    kw = dict(bits_per_bucket=1 << 14, buckets=4)
+
+    bf = build_bloom(seen, "url_canon", **kw)
+    bitmaps = or_reduce_bitmaps(build_bloom_partials(seen, "url_canon", **kw))
+    assert bitmaps.count() <= 4
+
+    probed = probe_bloom_bucketed(frontier, bitmaps, "url_canon", **kw)
+    got = {r["url_canon"]: r["__maybe"] for r in probed.collect()}
+    assert len(got) == 200
+
+    import numpy as np
+    rows = frontier.select(
+        "url_canon", F.xxhash64("url_canon").alias("h1"),
+        F.xxhash64("url_canon", F.lit(0x9E3779B9)).alias("h2")).collect()
+    h1 = np.array([r.h1 for r in rows], dtype=np.int64)
+    h2 = np.array([r.h2 for r in rows], dtype=np.int64)
+    exp = bf.might_contain_np(h1, h2)
+    for r, e in zip(rows, exp):
+        assert got[r.url_canon] == bool(e), r.url_canon
+    # every truly-seen url must be maybe=True (no false negatives)
+    for i in range(250, 300):
+        assert got[f"https://ex.com/a/{i}"] is True
+
+
+def test_or_reduce_matches_driver_merge(spark):
+    """Distributed OR-reduce == driver-side partial merge, bucket by
+    bucket (byte-identical bitmaps)."""
+    import numpy as np
+
+    from siren_spark.operators.seen import (
+        build_bloom, build_bloom_partials, or_reduce_bitmaps,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(1000)], "url_canon string") \
+        .repartition(7)  # many input partitions -> many partials pre-shuffle
+    kw = dict(bits_per_bucket=1 << 13, buckets=4)
+    bf = build_bloom(df, "url_canon", **kw)
+    reduced = {r.bucket: r.bitmap for r in or_reduce_bitmaps(
+        build_bloom_partials(df, "url_canon", **kw)).collect()}
+    assert set(reduced) == set(bf.bitmaps)
+    for b, bm in bf.bitmaps.items():
+        assert np.array_equal(np.frombuffer(reduced[b], dtype=np.uint8), bm)
