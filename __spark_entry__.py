@@ -234,34 +234,10 @@ FROM (
 # training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
 # word-3-gram shingles; 8 minhash permutations from 2 md5s per shingle
-# (disjoint 8-hex slices
-# of md5(s)||md5(s||'#')) — 4x cheaper than hashing per permutation.
-_MINHASH_SPARK = """
-WITH tk AS (
-  SELECT doc_id, split(text, ' ') AS toks FROM documents
-), sh AS (
-  SELECT doc_id,
-         array_distinct(transform(sequence(0, size(toks)-3),
-                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
-  FROM tk WHERE size(toks) >= 3
-), hh AS (
-  SELECT doc_id,
-         transform(shingles, s -> concat(md5(s), md5(concat(s, '#')))) AS hs
-  FROM sh
-), mh AS (
-  SELECT doc_id,
-         transform(sequence(0, 7),
-                   j -> array_min(transform(hs, h -> substring(h, 1 + 8*j, 8)))) AS sig
-  FROM hh
-), bands AS (
-  SELECT doc_id, b, concat(sig[b*2], sig[b*2+1]) AS band_key
-  FROM mh LATERAL VIEW explode(sequence(0, 3)) t AS b
-)
-SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
-FROM bands a JOIN bands b
-  ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-"""
+# (disjoint 8-hex slices of md5(s)||md5(s||'#')) — 4x cheaper than
+# hashing per permutation. Spark side = the REAL engine function
+# (siren_spark.functions.similarity.minhash_lsh_pairs); this DuckDB SQL
+# replicates its math, including the band_cap=256 hot-band guard.
 _MINHASH_DUCK = """
 WITH tk AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -282,6 +258,7 @@ WITH tk AS (
 ), bands AS (
   SELECT doc_id, b, sig[b*2+1] || sig[b*2+2] AS band_key
   FROM mh, generate_series(0, 3) t(b)
+  QUALIFY COUNT(*) OVER (PARTITION BY b, sig[b*2+1] || sig[b*2+2]) <= 256
 )
 SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
 FROM bands a JOIN bands b
@@ -289,25 +266,21 @@ FROM bands a JOIN bands b
 GROUP BY a.doc_id, b.doc_id
 """
 
-_SIMHASH_SPARK = """
-WITH tok AS (
-  SELECT doc_id, tok FROM documents
-  LATERAL VIEW explode(array_distinct(split(text, ' '))) t AS tok
-), th AS (
-  SELECT doc_id, CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS h
-  FROM tok
-), bits AS (
-  SELECT doc_id, i,
-         SUM(CASE WHEN (CAST(h / POWER(2, i) AS BIGINT)) % 2 = 1
-                  THEN 1 ELSE -1 END) AS s
-  FROM th LATERAL VIEW explode(sequence(0, 15)) t AS i
-  GROUP BY doc_id, i
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, i) AS BIGINT)
-                ELSE 0 END) AS BIGINT) AS simhash16
-FROM bits GROUP BY doc_id
+# exact-Jaccard verification of the MinHash candidates (the verify
+# stage after LSH blocking — two id equi-joins, never all-pairs)
+_JACCARD_VERIFY_DUCK = f"""
+WITH pairs AS ({_MINHASH_DUCK}),
+t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents)
+SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+       ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+             CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE), 4)
+         AS jaccard
+FROM pairs p
+JOIN t ta ON ta.doc_id = p.doc_a
+JOIN t tb ON tb.doc_id = p.doc_b
 """
+
 _SIMHASH_DUCK = """
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -325,24 +298,6 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, i) AS BIGINT)
                 ELSE 0 END) AS BIGINT) AS simhash16
 FROM bits GROUP BY doc_id
-"""
-
-_JACCARD_SPARK = """
-WITH t AS (SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM documents)
-SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
-       ROUND(CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE) /
-             CAST(size(array_distinct(concat(a.toks, b.toks))) AS DOUBLE), 4)
-         AS jaccard
-FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
-"""
-_JACCARD_DUCK = """
-WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-           FROM documents)
-SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
-       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-             CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 4)
-         AS jaccard
-FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
 # embedding math: quantize with floor(x*1000) -> exact integer dots
@@ -408,36 +363,10 @@ SELECT q_id, vec_id, cosine FROM (
 ) WHERE rn <= 3
 """
 
-# LSH-bucketed ANN scale path: 4 deterministic integer hyperplanes ->
-# 4-bit sign bucket. At 10^10 rows the join happens per bucket.
-_IVF_SPARK = """
-WITH e AS (
-  SELECT vec_id,
-         transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ev
-  FROM embeddings
-), b AS (
-  SELECT vec_id,
-         aggregate(zip_with(ev, transform(sequence(0, size(ev)-1),
-                     i -> CAST((i * 1 + 7) % 13 - 6 AS BIGINT)),
-                   (x, h) -> x * h), 0L, (acc, v) -> acc + v) AS d0,
-         aggregate(zip_with(ev, transform(sequence(0, size(ev)-1),
-                     i -> CAST((i * 2 + 7) % 13 - 6 AS BIGINT)),
-                   (x, h) -> x * h), 0L, (acc, v) -> acc + v) AS d1,
-         aggregate(zip_with(ev, transform(sequence(0, size(ev)-1),
-                     i -> CAST((i * 3 + 7) % 13 - 6 AS BIGINT)),
-                   (x, h) -> x * h), 0L, (acc, v) -> acc + v) AS d2,
-         aggregate(zip_with(ev, transform(sequence(0, size(ev)-1),
-                     i -> CAST((i * 5 + 7) % 13 - 6 AS BIGINT)),
-                   (x, h) -> x * h), 0L, (acc, v) -> acc + v) AS d3
-  FROM e
-)
-SELECT CAST(CASE WHEN d0 > 0 THEN 8 ELSE 0 END
-     + CASE WHEN d1 > 0 THEN 4 ELSE 0 END
-     + CASE WHEN d2 > 0 THEN 2 ELSE 0 END
-     + CASE WHEN d3 > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM b GROUP BY 1
-"""
+# LSH-bucketed ANN scale path: deterministic integer hyperplanes ->
+# sign bucket. Spark side = siren_spark.functions.similarity
+# .embedding_lsh_buckets (same 4 planes); at 10^10 rows the join
+# happens per bucket.
 _IVF_DUCK = """
 WITH e AS (
   SELECT vec_id,
@@ -464,32 +393,10 @@ FROM b GROUP BY 1
 """
 
 # embedding near-dup: LSH sign-bucket blocking (same 4 hyperplanes as
-# ann_lsh_buckets) -> exact cosine within bucket -> threshold. The
-# blocked self-join is the 10^10-scale shape (pairs only within buckets).
-_EMB_DEDUP_SPARK = """
-WITH e AS (
-  SELECT vec_id,
-         transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ev
-  FROM embeddings
-), bb AS (
-  SELECT vec_id, ev,
-         CASE WHEN aggregate(zip_with(ev, transform(sequence(0, size(ev)-1), i -> CAST((i * 1 + 7) % 13 - 6 AS BIGINT)), (x, h) -> x * h), 0L, (acc, v) -> acc + v) > 0 THEN 8 ELSE 0 END
-       + CASE WHEN aggregate(zip_with(ev, transform(sequence(0, size(ev)-1), i -> CAST((i * 2 + 7) % 13 - 6 AS BIGINT)), (x, h) -> x * h), 0L, (acc, v) -> acc + v) > 0 THEN 4 ELSE 0 END
-       + CASE WHEN aggregate(zip_with(ev, transform(sequence(0, size(ev)-1), i -> CAST((i * 3 + 7) % 13 - 6 AS BIGINT)), (x, h) -> x * h), 0L, (acc, v) -> acc + v) > 0 THEN 2 ELSE 0 END
-       + CASE WHEN aggregate(zip_with(ev, transform(sequence(0, size(ev)-1), i -> CAST((i * 5 + 7) % 13 - 6 AS BIGINT)), (x, h) -> x * h), 0L, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END AS bucket
-  FROM e
-), p AS (
-  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         aggregate(zip_with(x.ev, y.ev, (u, v) -> u * v), 0L, (acc, v) -> acc + v) AS dot,
-         aggregate(transform(x.ev, u -> u * u), 0L, (acc, v) -> acc + v) AS nx,
-         aggregate(transform(y.ev, u -> u * u), 0L, (acc, v) -> acc + v) AS ny
-  FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-)
-SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
-       ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)), 6) AS cosine
-FROM p
-WHERE CAST(dot AS DOUBLE) / sqrt(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) >= 0.35
-"""
+# ann_lsh_buckets) -> exact cosine within bucket -> threshold. Spark
+# side = siren_spark.functions.similarity.embedding_near_dups; the
+# blocked self-join is the 10^10-scale shape (pairs only within
+# buckets; raise n_planes toward 2*log2(N) as the corpus grows).
 _EMB_DEDUP_DUCK = """
 WITH e AS (
   SELECT vec_id,
@@ -516,13 +423,8 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)) >= 0.3
 """
 
 # BPE-ish regex tokenizer: runs of letters | digits | single non-space
-# symbol (the whitespace+symbol split a byte-level BPE pre-tokenizer does)
-_TOK_BPE_SPARK = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)
-         AS n_bpe_tokens
-FROM documents
-"""
+# symbol (the whitespace+symbol split a byte-level BPE pre-tokenizer
+# does). Spark side = siren_spark.functions.text.with_bpe_token_count.
 _TOK_BPE_DUCK = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)
@@ -606,6 +508,146 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
 FROM customer
 """
 
+
+# ---------------------------------------------------------------------------
+# engine-API queries: each callable runs the REAL siren_spark function
+# (functions/text.py, functions/similarity.py) and the oracle SQL
+# replicates its math in DuckDB — the gate verifies engine code, not
+# inline SQL (pattern: _q_canonicalize).
+# ---------------------------------------------------------------------------
+
+def _docs_q(engine_fn):
+    """queries() entry running an engine function over `documents`."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return engine_fn(spark.table("documents"))
+    return run
+
+
+def _q_dedup_exact(docs):
+    from siren_spark.functions.text import dedup_exact
+    return dedup_exact(docs)
+
+
+def _q_langid(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.text import with_langid
+    return with_langid(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "predicted_lang")
+
+
+def _q_tokcount(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.text import with_token_counts
+    return with_token_counts(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_tokens", "n_chars")
+
+
+def _q_tokbpe(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.text import with_bpe_token_count
+    return with_bpe_token_count(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_bpe_tokens")
+
+
+def _q_quality(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.text import with_quality_score
+    return with_quality_score(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "avg_word_len", "length_score")
+
+
+def _q_fingerprint(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.text import with_fingerprint
+    return with_fingerprint(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
+
+
+def _q_minhash(docs):
+    from siren_spark.functions.similarity import minhash_lsh_pairs
+    return minhash_lsh_pairs(docs, perms=8, bands=4, band_cap=256)
+
+
+def _q_simhash(docs):
+    from siren_spark.functions.similarity import simhash16
+    return simhash16(docs)
+
+
+def _q_jaccard_verify(docs):
+    from siren_spark.functions.similarity import (
+        jaccard_verify, minhash_lsh_pairs,
+    )
+    pairs = minhash_lsh_pairs(docs, perms=8, bands=4, band_cap=256)
+    return jaccard_verify(docs, pairs)
+
+
+def _emb_q(engine_fn):
+    """queries() entry running an engine function over `embeddings`."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return engine_fn(spark.table("embeddings"))
+    return run
+
+
+def _q_lsh_buckets(emb):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.similarity import embedding_lsh_buckets
+    return (embedding_lsh_buckets(emb, n_planes=4)
+            .groupBy(F.col("bucket").cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q_emb_dedup(emb):
+    from siren_spark.functions.similarity import embedding_near_dups
+    return embedding_near_dups(emb, threshold=0.35, n_planes=4)
+
+
+def _q_ann_lsh_topk(emb):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.similarity import ann_lsh_topk
+    return ann_lsh_topk(emb, query_filter=F.col("vec_id") < 5,
+                        k=3, n_planes=4, multiprobe=True)
+
+
+# LSH-blocked top-k search oracle: same 4 planes as the engine, probe =
+# own bucket + every 1-bit flip, exact cosine in-bucket, rank on the
+# rounded cosine (ties on vec_id) — mirrors similarity.ann_lsh_topk.
+_ANN_LSH_TOPK_DUCK = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS ev
+  FROM embeddings
+), b AS (
+  SELECT vec_id, ev,
+         CASE WHEN CAST(list_sum([ev[i+1] * ((i * 1 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 8 ELSE 0 END
+       + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 2 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 4 ELSE 0 END
+       + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 3 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 2 ELSE 0 END
+       + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 5 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bucket
+  FROM e
+), q AS (
+  SELECT vec_id AS q_id, ev AS qv,
+         unnest([bucket, xor(bucket, 8), xor(bucket, 4),
+                 xor(bucket, 2), xor(bucket, 1)]) AS bucket
+  FROM b WHERE vec_id < 5
+), cand AS (
+  SELECT DISTINCT q.q_id, q.qv, b.vec_id, b.ev
+  FROM q JOIN b USING (bucket) WHERE q.q_id <> b.vec_id
+), s AS (
+  SELECT q_id, vec_id,
+         ROUND(CAST(CAST(list_sum(list_transform(list_zip(qv, ev), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS DOUBLE)
+                      * CAST(CAST(list_sum(list_transform(ev, x -> x * x)) AS BIGINT) AS DOUBLE)), 6) AS cosine
+  FROM cand
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM (SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM s) WHERE rn <= 3
+"""
+
 _REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": _q(_Q1_SPARK, _Q1_DUCK),
     "p1_date_window_filter": _q(_P1),
@@ -613,7 +655,7 @@ _REGISTRY: dict[str, tuple] = {
     "p8_projection_rename": _q(_P8),
     "p9_computed_coalesce": _q(_P9_SPARK, _P9_DUCK),
     "p6_validity_filter": _q(_P6),
-    "a1_dedup_exact": _q(_A1),
+    "a1_dedup_exact": (_docs_q(_q_dedup_exact), _A1),
     "a2_anti_join_unseen": _q(_A2, _A2_DUCK),
     "a3_latest_per_key": _q(_A3),
     "a5_counters_rollup": _q(_A5),
@@ -625,18 +667,20 @@ _REGISTRY: dict[str, tuple] = {
     "f2_fixed_range_fanout": _q(_F2_SPARK, _F2_DUCK),
     "f3_date_step_fanout": _q(_F3_SPARK, _F3_DUCK),
     "politeness_topk_per_host": _q(_TOPK),
-    "dedup_minhash_lsh": _q(_MINHASH_SPARK, _MINHASH_DUCK),
-    "dedup_simhash": _q(_SIMHASH_SPARK, _SIMHASH_DUCK),
-    "ngram_jaccard_neighbors": _q(_JACCARD_SPARK, _JACCARD_DUCK),
+    "dedup_minhash_lsh": (_docs_q(_q_minhash), _MINHASH_DUCK),
+    "dedup_simhash": (_docs_q(_q_simhash), _SIMHASH_DUCK),
+    "ngram_jaccard_verify": (_docs_q(_q_jaccard_verify),
+                             _JACCARD_VERIFY_DUCK),
     "ann_cosine_brute": _q(_ANN_SPARK, _ANN_DUCK),
     "ann_cosine_topk": _q(_ANN_TOPK_SPARK, _ANN_TOPK_DUCK),
-    "ann_lsh_buckets": _q(_IVF_SPARK, _IVF_DUCK),
-    "dedup_embedding_cosine": _q(_EMB_DEDUP_SPARK, _EMB_DEDUP_DUCK),
-    "text_langid": _q(_LANGID),
-    "text_token_count": _q(_TOKCOUNT),
-    "text_token_bpe": _q(_TOK_BPE_SPARK, _TOK_BPE_DUCK),
-    "text_quality_score": _q(_QUALITY),
-    "doc_fingerprint": _q(_FINGERPRINT, _FINGERPRINT_DUCK),
+    "ann_lsh_buckets": (_emb_q(_q_lsh_buckets), _IVF_DUCK),
+    "ann_lsh_topk": (_emb_q(_q_ann_lsh_topk), _ANN_LSH_TOPK_DUCK),
+    "dedup_embedding_cosine": (_emb_q(_q_emb_dedup), _EMB_DEDUP_DUCK),
+    "text_langid": (_docs_q(_q_langid), _LANGID),
+    "text_token_count": (_docs_q(_q_tokcount), _TOKCOUNT),
+    "text_token_bpe": (_docs_q(_q_tokbpe), _TOK_BPE_DUCK),
+    "text_quality_score": (_docs_q(_q_quality), _QUALITY),
+    "doc_fingerprint": (_docs_q(_q_fingerprint), _FINGERPRINT_DUCK),
     "k9_url_canonicalize": (_q_canonicalize, _CANON_ORACLE),
 }
 

@@ -58,6 +58,11 @@ import pandas as pd
 DATE_FILTERED_SOURCES = ("mirror", "tg_online", "newsminute")
 # Client-side keyword filter applies only to TG epaper (epaper/telegraph.py:80-88).
 KEYWORD_FILTERED_SOURCES = ("tg_epaper",)
+# Post-fetch headline dedup applies only to HT: the reference keeps one
+# article per headline across all editions/keywords — including the
+# ' - no data -' default (ht.py:152-157 headline property + __hash__,
+# ht.py:261-268 scrape()-level done-set). Deterministic winner: url asc.
+HEADLINE_DEDUP_SOURCES = ("ht",)
 
 
 @dataclass
@@ -296,6 +301,15 @@ def _apply_result_filters(records: DataFrame, cfg: CrawlConfig) -> DataFrame:
         )
         out = out.filter(
             (~F.col("source").isin(*KEYWORD_FILTERED_SOURCES)) | has_kw)
+    # A3: per-source post-extraction headline dedup (HT). One window
+    # over (source, title) within the round; rows of non-dedup sources
+    # pass regardless of rank. In the reference all HT editions resolve
+    # inside one scrape() call, which maps to one engine round here.
+    w_hl = Window.partitionBy("source", "title").orderBy(F.asc("url"))
+    out = (out.withColumn("__rn_hl", F.row_number().over(w_hl))
+           .filter((~F.col("source").isin(*HEADLINE_DEDUP_SOURCES))
+                   | (F.col("__rn_hl") == 1))
+           .drop("__rn_hl"))
     return out
 
 
@@ -350,23 +364,41 @@ _METRIC_OF_STATUS = {"blocked": "robots_blocked", "deduped": "deduped",
                      "scheduled": "fetched", "deferred": "deferred"}
 
 
-def _round_counters(ann_r: DataFrame, ex: DataFrame, gen: int) -> DataFrame:
+def _round_counters(ann_r: DataFrame, ex: DataFrame, gen: int,
+                    cache_registry: list | None = None) -> DataFrame:
     """Per-domain counters for one round as a (tiny, pre-aggregated)
     DataFrame — never collected to the driver. A web frontier has
     millions of registrable domains; this table is one row per
     (domain, metric) and lives in the round's checkpoint, while the
-    manifest JSON keeps only whole-round rollups."""
+    manifest JSON keeps only whole-round rollups.
+
+    Domains for extracted page/error rows come from a JVM-side join
+    against the annotated frontier (every fetched url IS a scheduled
+    url) — no Python-UDF node over the extraction output. The two tiny
+    aggregated frames are persisted so the three-way union does not
+    recompute their scans.
+    """
     metric_map = F.create_map(
         *[F.lit(x) for kv in _METRIC_OF_STATUS.items() for x in kv])
     ann_cnt = (ann_r.groupBy("domain", "status")
                .agg(F.count(F.lit(1)).alias("n"))
                .select("domain", metric_map[F.col("status")].alias("metric"),
-                       "n"))
-    exd = (ex.filter(F.col("kind").isin("page", "error"))
-           .select(domain_udf(F.col("url")).alias("domain"), "kind")
-           .groupBy("domain", "kind").agg(F.count(F.lit(1)).alias("n")))
+                       "n")).persist()
+    sched_dom = (ann_r.filter(F.col("status") == "scheduled")
+                 .select("url", "domain"))
+    exd = (ex.filter(F.col("kind").isin("page", "error", "record"))
+           .select("url", "kind")
+           .join(sched_dom, "url", "left")
+           .groupBy("domain", "kind").agg(F.count(F.lit(1)).alias("n"))
+           ).persist()
+    if cache_registry is not None:
+        cache_registry.extend([ann_cnt, exd])
     errors = (exd.filter(F.col("kind") == "error")
               .select("domain", F.lit("errors").alias("metric"), "n"))
+    # 'records' rides along so the crawl loop reads its per-round record
+    # count from this tiny table instead of re-scanning the extraction
+    records = (exd.filter(F.col("kind") == "record")
+               .select("domain", F.lit("records").alias("metric"), "n"))
     # missing = scheduled but absent from the pages store (the
     # reference's non-200 -> [] path, mirror.py:53)
     sched = (ann_cnt.filter(F.col("metric") == "fetched")
@@ -378,7 +410,8 @@ def _round_counters(ann_r: DataFrame, ex: DataFrame, gen: int) -> DataFrame:
                        (F.col("n_sched") - F.coalesce(F.col("n_hit"),
                                                       F.lit(0))).alias("n"))
                .filter(F.col("n") > 0))
-    return (ann_cnt.unionByName(errors).unionByName(missing)
+    return (ann_cnt.unionByName(errors).unionByName(records)
+            .unionByName(missing)
             .select(F.lit(gen).alias("gen"), "domain", "metric",
                     F.col("n").cast("long").alias("n")))
 
@@ -508,12 +541,16 @@ def run_crawl(
         next_frontier = links.unionByName(
             ann_r.filter(F.col("status") == "deferred").select(*FRONTIER_COLS))
 
+        cnt_caches: list = []
         for name, df in (("frontier", next_frontier),
                          ("results", results_round),
-                         ("counters", _round_counters(ann_r, ex, gen))):
+                         ("counters", _round_counters(ann_r, ex, gen,
+                                                      cnt_caches))):
             tw = time.time()
             store.stage_table(gen, name, df)
             _log(f"gen {gen}   write {name} {time.time()-tw:.1f}s")
+        for c in cnt_caches:
+            c.unpersist()
 
         # seen bookkeeping: this round's scheduled rows extend the seen
         # set; compact the source list every seen_compact_every rounds so
@@ -558,7 +595,12 @@ def run_crawl(
         _log(f"gen {gen} commit {time.time()-t2:.1f}s "
              f"total {time.time()-t0:.1f}s")
         round_secs.append(time.time() - t0)
-        n_rec = int(ex.filter(F.col("kind") == "record").count())
+        # record count from the tiny staged counters table — no second
+        # scan of the (large) extraction output
+        n_rec = int(
+            (spark.read.parquet(f"{store._gen_dir(gen)}/counters")
+             .filter(F.col("metric") == "records")
+             .agg(F.sum("n")).collect()[0][0]) or 0)
         round_urls.append(int(n_by_status.get("scheduled", 0)) + n_rec)
 
         # roll forward from committed state

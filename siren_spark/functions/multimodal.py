@@ -195,7 +195,57 @@ def ocr_text(df: DataFrame, *, payload_col: str = "html",
         run, "url string, text string")
 
 
+def ocr_page_chunks(df: DataFrame, key_cols: tuple[str, ...] = ("page_key",),
+                    chunks_col: str = "chunks") -> DataFrame:
+    """J5/A6 composed (ocr.py:74-110): page -> level-2 chunks -> OCR ->
+    per-page map of chunk_url -> text.
+
+    Input: one row per page, ``chunks_col`` an
+    array<struct<url:string, ..., data:binary>> (the reference's
+    PageLevel.chunks with fetched bytes). Output: one row per page with
+    ``matches: map<string,string>`` containing only chunks whose OCR
+    produced text (ocr.py:88-91 keeps non-empty only); pages with no
+    matches keep an EMPTY map, like PageResult(matches={}) — they are
+    not dropped (ocr.py:92).
+
+    Plan shape: explode -> Arrow-batched OCR UDF -> map_from_entries
+    over a sorted collect_list grouped back by page key. The only
+    shuffle carries (page_key, chunk_url, text) — never image bytes.
+    """
+    engine = _ocr_engine
+
+    @F.pandas_udf("string")
+    def ocr_udf(data: pd.Series) -> pd.Series:
+        out = []
+        for b in data:
+            if engine is None:
+                out.append("")
+                continue
+            try:
+                out.append(engine(bytes(b)))
+            except Exception:        # ocr.py:45-49: errors -> ''
+                out.append("")
+        return pd.Series(out)
+
+    key_list = list(key_cols)
+    ex = df.select(*key_list, F.explode(F.col(chunks_col)).alias("__c"))
+    ocd = ex.select(*key_list,
+                    F.col("__c.url").alias("__curl"),
+                    ocr_udf(F.col("__c.data")).alias("__txt"))
+    matched = (ocd.filter(F.col("__txt") != "")
+               .groupBy(*key_list)
+               .agg(F.map_from_entries(F.sort_array(F.collect_list(
+                   F.struct(F.col("__curl"), F.col("__txt")))))
+                   .alias("matches")))
+    base = df.select(*key_list)
+    return (base.join(matched, key_list, "left")
+            .withColumn("matches",
+                        F.coalesce(F.col("matches"),
+                                   F.create_map().cast(
+                                       "map<string,string>"))))
+
+
 __all__ = [
     "sniff_bytes", "sniff_media_meta", "image_features", "frame_sample",
-    "ocr_text", "set_image_decoder", "set_ocr_engine",
+    "ocr_text", "ocr_page_chunks", "set_image_decoder", "set_ocr_engine",
 ]

@@ -1,0 +1,417 @@
+"""Near-duplicate detection and similarity search as engine API.
+
+DataFrame -> DataFrame operators for the dedup/similarity stages of a
+training-data pipeline:
+
+- MinHash + LSH banding (Broder 1997): shingle -> minhash signature ->
+  band keys -> candidate pairs via an equi-join on band key. Never
+  all-pairs; the only shuffle is on band_key, and hot bands (empty or
+  boilerplate documents that share every band) are capped so no single
+  band goes quadratic inside one task.
+- SimHash (Charikar 2002): 16-bit parity variant plus a 64-bit
+  signature split into two 32-bit halves (no signed overflow) with a
+  pigeonhole Hamming band join for near-dup pairs.
+- Embedding LSH (random-hyperplane signs, Indyk–Motwani / Charikar):
+  sign-bucket blocking with a configurable plane count and optional
+  multi-probe (flip one bit) expansion, for near-dup pairs and for
+  top-k similarity search with NO cross join in the plan.
+- Exact n-gram Jaccard verification over a candidate-pair frame (the
+  verify stage after MinHash candidates).
+
+Everything is built from JVM column expressions (md5 slices, integer
+dot products on floor(x*1000) quantized embeddings) so results are
+bit-deterministic regardless of partitioning — the driver's DuckDB
+value-hash oracle verifies these exact functions.
+
+All hash math is chosen to be expressible in both Spark SQL and DuckDB
+(md5 hex slices, not xxhash64) precisely so the oracle gate can check
+the real engine code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: Column, size: int) -> Column:
+    """Distinct word ``size``-grams of a single-space tokenized text.
+
+    Total expression (try_element_at, bounded sequence): callers filter
+    sub-``size``-token docs out, but under ANSI mode Catalyst may
+    reorder this expression ahead of that filter (e.g. into a generator
+    predicate), so it must never index out of bounds."""
+    toks = F.split(text, " ")
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - size, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + j + 1) for j in range(size)])))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    perms: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, m0..m{perms-1}) minhash signature per document.
+
+    ``perms`` permutations come from disjoint 8-hex-char slices of
+    md5(s)||md5(s||'#') per shingle — 2 hashes instead of ``perms``
+    (perms <= 16 with two md5s). Documents with fewer than
+    ``shingle_size`` tokens are dropped (no shingle exists; both SQL
+    dialects agree on this rule).
+
+    Plan shape: explode shingles -> hash -> groupBy(id).agg(perms mins).
+    The shuffle carries only (id, 8-char slices); map-side partial mins
+    make it combiner-friendly at any corpus size.
+    """
+    assert perms <= 16, "two md5s provide 16 disjoint 8-hex slices"
+    toks = F.split(F.col(text_col), " ")
+    tk = (df.where(F.size(toks) >= shingle_size)
+          .select(F.col(id_col).alias("id"),
+                  _shingles(F.col(text_col), shingle_size).alias("sh"))
+          .select("id", F.explode("sh").alias("s")))
+    hh = tk.select(
+        "id", F.concat(F.md5(F.col("s")),
+                       F.md5(F.concat(F.col("s"), F.lit("#")))).alias("h"))
+    return hh.groupBy("id").agg(
+        *[F.min(F.substring(F.col("h"), 1 + 8 * j, 8)).alias(f"m{j}")
+          for j in range(perms)])
+
+
+def minhash_band_keys(
+    sigs: DataFrame,
+    *,
+    perms: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, b, band_key): LSH banding of a signature frame.
+
+    rows-per-band r = perms/bands; two docs collide in band b iff all r
+    minhashes of that band agree — P(candidate) = 1-(1-s^r)^b for
+    Jaccard s, the standard S-curve knob.
+    """
+    assert perms % bands == 0, "perms must split evenly into bands"
+    r = perms // bands
+    keys = F.array(*[
+        F.concat(*[F.col(f"m{b * r + j}") for j in range(r)])
+        for b in range(bands)])
+    return sigs.select(
+        "id", F.posexplode(keys).alias("b", "band_key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    perms: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+    band_cap: int | None = 256,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) via MinHash LSH.
+
+    ``band_cap`` guards the band self-join against hot keys: a band_key
+    shared by n documents produces n^2/2 pairs in one task, and at web
+    scale the empty/boilerplate band is a single key covering millions
+    of documents. Bands larger than the cap are dropped (their members
+    are better handled by exact dedup upstream — identical docs share
+    *every* band, so a capped band loses nothing that md5-exact dedup
+    would not catch). Pass ``band_cap=None`` to disable.
+    """
+    sigs = minhash_signatures(df, id_col, text_col,
+                              perms=perms, shingle_size=shingle_size)
+    bk = minhash_band_keys(sigs, perms=perms, bands=bands)
+    if band_cap is not None:
+        w = Window.partitionBy("b", "band_key")
+        bk = (bk.withColumn("__n", F.count(F.lit(1)).over(w))
+              .where(F.col("__n") <= band_cap).drop("__n"))
+    a = bk.alias("a")
+    b = bk.alias("b")
+    return (a.join(b, [F.col("a.b") == F.col("b.b"),
+                       F.col("a.band_key") == F.col("b.band_key"),
+                       F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").cast("long").alias("doc_a"),
+                    F.col("b.id").cast("long").alias("doc_b"))
+            .distinct())
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate (doc_a, doc_b) pairs.
+
+    The verify stage after LSH blocking: joins each side to its token
+    set (two hash joins on doc id — never all-pairs) and computes
+    |A∩B| / |A∪B| exactly. ``min_jaccard`` filters confirmed pairs.
+    """
+    toksets = df.select(F.col(id_col).alias("__id"),
+                        F.array_distinct(F.split(F.col(text_col), " "))
+                        .alias("__toks"))
+    ta = toksets.select(F.col("__id").alias("doc_a"),
+                        F.col("__toks").alias("__ta"))
+    tb = toksets.select(F.col("__id").alias("doc_b"),
+                        F.col("__toks").alias("__tb"))
+    out = (pairs.join(ta, "doc_a").join(tb, "doc_b")
+           .select(
+               F.col("doc_a").cast("long").alias("doc_a"),
+               F.col("doc_b").cast("long").alias("doc_b"),
+               F.round(
+                   F.size(F.array_intersect("__ta", "__tb")).cast("double")
+                   / F.size(F.array_union("__ta", "__tb")).cast("double"),
+                   4).alias("jaccard")))
+    if min_jaccard is not None:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash16): 16-bit parity simhash over distinct tokens.
+
+    Kept for oracle parity and tiny corpora; 16 bits saturate around
+    10^5 documents — use :func:`simhash64` beyond that.
+    """
+    tok = (df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.array_distinct(
+                         F.split(F.col(text_col), " "))).alias("tok")))
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long").alias("h"))
+    bits = (th.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(15)))
+                      .alias("i"), "h")
+            .groupBy("doc_id", "i")
+            .agg(F.sum(F.when((F.floor(F.col("h") / F.pow(F.lit(2),
+                                                          F.col("i")))
+                               .cast("long") % 2) == 1, 1)
+                       .otherwise(-1)).alias("s")))
+    return (bits.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+            .agg(F.sum(F.when(F.col("s") > 0,
+                              F.pow(F.lit(2), F.col("i")).cast("long"))
+                       .otherwise(F.lit(0))).cast("long").alias("simhash16")))
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, sim_hi, sim_lo): 64-bit simhash as two 32-bit halves.
+
+    Two unsigned-32 halves avoid signed-BIGINT overflow at bit 63 in
+    both Spark and DuckDB. Hash source: md5 hex slices (chars 1-8 ->
+    low half bits, 9-16 -> high half bits), so the oracle can replicate
+    bit-for-bit. One groupBy with 64 conditional sums — no per-bit
+    explode, combiner-friendly.
+    """
+    tok = (df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.array_distinct(
+                         F.split(F.col(text_col), " "))).alias("tok")))
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long").alias("hlo"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
+        .cast("long").alias("hhi"))
+
+    def bit_sum(src: str, i: int) -> Column:
+        return F.sum(F.when(
+            F.col(src).bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1))
+
+    aggs = ([bit_sum("hlo", i).alias(f"s{i}") for i in range(32)]
+            + [bit_sum("hhi", i).alias(f"s{i + 32}") for i in range(32)])
+    sums = th.groupBy("doc_id").agg(*aggs)
+
+    def half(lo_bit: int) -> Column:
+        out = F.lit(0).cast("long")
+        for i in range(32):
+            out = out + F.when(F.col(f"s{lo_bit + i}") > 0,
+                               F.lit(1 << i).cast("long")).otherwise(0)
+        return out
+
+    return sums.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       half(32).alias("sim_hi"), half(0).alias("sim_lo"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with 64-bit simhash distance <=
+    ``max_hamming``.
+
+    Blocking: the 64-bit signature splits into 4 chunks of 16 bits;
+    by pigeonhole any pair within Hamming distance 3 agrees on at least
+    one chunk, so candidates come from 4 equi-joins on (chunk_idx,
+    chunk_value) — never all-pairs — then verify with bit_count.
+    """
+    sig = simhash64(df, id_col, text_col)
+    chunks = F.array(
+        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("sim_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("sim_hi", 16).bitwiseAND(F.lit(0xFFFF)))
+    blocked = sig.select("doc_id", "sim_hi", "sim_lo",
+                         F.posexplode(chunks).alias("c", "ck"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = (F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+           + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))))
+    return (a.join(b, [F.col("a.c") == F.col("b.c"),
+                       F.col("a.ck") == F.col("b.ck"),
+                       F.col("a.doc_id") < F.col("b.doc_id")])
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.first(ham).alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", F.col("hamming").cast("long")
+                    .alias("hamming")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding LSH (sign-random-projection) — near-dup + top-k search
+# ---------------------------------------------------------------------------
+
+# plane multipliers: distinct non-zero residues mod 13 so no two planes
+# share a weight pattern (supports up to 12 planes)
+_PLANE_MULTS = [1, 2, 3, 5, 7, 11, 17, 19, 23, 31, 37, 41]
+
+
+def quantize_embedding(emb: Column) -> Column:
+    """floor(x*1000) as BIGINT — exact integer dot products downstream,
+    deterministic under any aggregation order."""
+    return F.transform(
+        emb, lambda x: F.floor(x.cast("double") * 1000).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _plane_weights(ev: Column, mult: int) -> Column:
+    """Deterministic pseudo-random hyperplane: w[i] = (i*mult+7)%13-6."""
+    return F.transform(F.sequence(F.lit(0), F.size(ev) - 1),
+                       lambda i: ((i * mult + 7) % 13 - 6).cast("long"))
+
+
+def embedding_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    n_planes: int = 4,
+) -> DataFrame:
+    """(vec_id, ev, bucket): sign-LSH bucket id from ``n_planes``
+    deterministic hyperplanes (plane p contributes bit 2^(n-1-p) when
+    the projection is positive). 2·log2(N) planes keep expected bucket
+    size ~sqrt-ish at corpus size N; max 12 planes with this weight
+    family."""
+    assert 1 <= n_planes <= len(_PLANE_MULTS)
+    ev = quantize_embedding(F.col(emb_col)).alias("ev")
+    base = df.select(F.col(id_col).alias("vec_id"), ev)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        d = _dot(F.col("ev"), _plane_weights(F.col("ev"), _PLANE_MULTS[p]))
+        bucket = bucket + F.when(d > 0,
+                                 F.lit(1 << (n_planes - 1 - p))).otherwise(0)
+    return base.withColumn("bucket", bucket.cast("long"))
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return (F.round(_dot(a, b).cast("double")
+                    / F.sqrt(_dot(a, a).cast("double")
+                             * _dot(b, b).cast("double")), 6))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) pairs with cosine >= threshold, blocked by
+    sign-LSH bucket (pairs only form inside a bucket — the 10^10-scale
+    shape; raise ``n_planes`` toward 2·log2(N) as the corpus grows so
+    buckets stay sub-quadratic)."""
+    bb = embedding_lsh_buckets(df, id_col, emb_col, n_planes=n_planes)
+    x, y = bb.alias("x"), bb.alias("y")
+    raw = (_dot(F.col("x.ev"), F.col("y.ev")).cast("double")
+           / F.sqrt(_dot(F.col("x.ev"), F.col("x.ev")).cast("double")
+                    * _dot(F.col("y.ev"), F.col("y.ev")).cast("double")))
+    return (x.join(y, [F.col("x.bucket") == F.col("y.bucket"),
+                       F.col("x.vec_id") < F.col("y.vec_id")])
+            .select(F.col("x.vec_id").cast("long").alias("vec_a"),
+                    F.col("y.vec_id").cast("long").alias("vec_b"),
+                    F.round(raw, 6).alias("cosine"),
+                    raw.alias("__raw"))
+            .where(F.col("__raw") >= threshold)   # threshold pre-rounding
+            .drop("__raw"))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    query_filter: Column,
+    k: int = 3,
+    n_planes: int = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """(q_id, vec_id, cosine): top-k neighbors per query via LSH
+    blocking — the scale path: NO cross join anywhere in the plan.
+
+    Queries probe their own bucket plus (``multiprobe``) every
+    one-bit-flip neighbor bucket, then candidates are scored exactly
+    and ranked. Recall vs brute force is a function of n_planes ×
+    multiprobe; the test suite pins it against the brute-force oracle.
+    """
+    bb = embedding_lsh_buckets(df, id_col, emb_col, n_planes=n_planes)
+    qs = bb.where(query_filter)
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+              for p in range(n_planes)])
+    else:
+        probes = F.array(F.col("bucket"))
+    q = qs.select(F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"),
+                  F.explode(probes).alias("bucket"))
+    cand = (q.join(bb, "bucket")
+            .where(F.col("q_id") != F.col("vec_id"))
+            .select("q_id", "qv", "vec_id", "ev")
+            .distinct())        # a candidate may appear via several probes
+    scored = cand.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _cosine(F.col("qv"), F.col("ev")).alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
+__all__ = ["minhash_signatures", "minhash_band_keys", "minhash_lsh_pairs",
+           "jaccard_verify", "simhash16", "simhash64", "simhash_near_dups",
+           "quantize_embedding", "embedding_lsh_buckets",
+           "embedding_near_dups", "ann_lsh_topk"]

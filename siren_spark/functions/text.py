@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines, as engine API.
+
+DataFrame -> DataFrame functions over a text column: language ID,
+token counting (whitespace + BPE-ish pre-tokenizer), quality scoring,
+and document fingerprinting. All pure JVM column expressions (no
+Python UDFs) so they stay inside whole-stage codegen and scale as flat
+maps — no shuffle, no skew surface, safe at any corpus size.
+
+Determinism: integer outputs are BIGINT, float outputs are rounded at a
+fixed scale, so results are independent of partitioning and execution
+order (the driver's value-hash oracle gate relies on this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ws_token_count(text: Column) -> Column:
+    """Whitespace token count = spaces + 1 (single-space normalized
+    corpora; matches the SQL oracle exactly)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
+            + F.lit(1)).cast("long")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_tokens`` (whitespace tokens) and ``n_chars``."""
+    t = F.col(text_col)
+    return (df.withColumn("n_tokens", _ws_token_count(t))
+            .withColumn("n_chars", F.length(t).cast("long")))
+
+
+# Runs of letters | runs of digits | single non-alnum symbol: the
+# whitespace+category split a byte-level BPE pre-tokenizer performs
+# before merges (counts pre-tokens; merges only ever reduce the count).
+BPE_PRETOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_bpe_tokens`` — BPE pre-tokenizer token count."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                    F.lit(BPE_PRETOKEN_RE), 0)).cast("long"))
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``predicted_lang`` ('en' | 'und').
+
+    Deliberately tiny stopword-frequency heuristic (' the ', ' a ')
+    kept SQL-expressible so the oracle gate can verify it exactly; a
+    production pipeline swaps in an n-gram/fastText-class scorer as a
+    pandas UDF with the same column contract.
+    """
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+
+    def occurrences(needle: str) -> Column:
+        return (F.length(padded)
+                - F.length(F.replace(padded, F.lit(needle), F.lit("")))) \
+            / F.lit(len(needle))
+
+    score = (occurrences(" the ") + occurrences(" a ")).cast("long")
+    return df.withColumn(
+        "predicted_lang",
+        F.when(score >= 2, F.lit("en")).otherwise(F.lit("und")))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``avg_word_len`` and ``length_score`` (both ROUND(...,4)).
+
+    length_score saturates at 100 tokens — a crude "long enough to
+    train on" signal; avg_word_len flags boilerplate/code blobs.
+    """
+    t = F.col(text_col)
+    n_tok = _ws_token_count(t).cast("double")
+    compact = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double")
+    return (df.filter(F.length(t) > 0)
+            .withColumn("avg_word_len", F.round(compact / n_tok, 4))
+            .withColumn("length_score",
+                        F.round(F.least(n_tok / F.lit(100.0), F.lit(1.0)), 4)))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``fingerprint`` = md5(head(40) | length | tail(40)).
+
+    A cheap locality-insensitive document identity: robust to mid-body
+    edits being *detected* (length changes), constant-size, and
+    computable in one pass — the pre-filter in front of exact dedup.
+    """
+    t = F.col(text_col)
+    return df.withColumn(
+        "fingerprint",
+        F.md5(F.concat(
+            F.substring(t, 1, 40), F.lit("|"),
+            F.length(t).cast("string"), F.lit("|"),
+            F.substring(t, F.greatest(F.length(t) - F.lit(39), F.lit(1)),
+                        F.lit(40)))))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: (text_hash, canonical_doc, dup_count).
+
+    Hash group-by — the one dedup that is embarrassingly scalable
+    (one shuffle on md5(text), combiner-friendly aggregates).
+    """
+    return (df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+            .agg(F.min(id_col).cast("long").alias("canonical_doc"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+__all__ = ["with_token_counts", "with_bpe_token_count", "with_langid",
+           "with_quality_score", "with_fingerprint", "dedup_exact",
+           "BPE_PRETOKEN_RE"]

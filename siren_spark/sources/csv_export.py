@@ -32,14 +32,47 @@ def transform(item: object) -> str:
     return str(item)
 
 
+def compute_fields(
+    model_fields: list[str],
+    *,
+    include: set[str] | None = None,
+    exclude: set[str] | None = None,
+    class_fields: list[str] | None = None,
+) -> list[str]:
+    """core/scraper.py:117-128 field-set computation.
+
+    ``fields = set(model_fields) | include - exclude`` unless the model
+    declares ``FIELDS`` (``class_fields``), which wins wholesale. The
+    no-FIELDS path iterates a python *set*, so column order is set
+    iteration order — hash-randomized across interpreter runs. That
+    quirk is the reference's actual behavior and is reproduced
+    faithfully here (models that care declare FIELDS; ours do too).
+    """
+    if class_fields:
+        return list(class_fields)
+    fields = set(model_fields)
+    fields |= set(include or ())
+    fields -= set(exclude or ())
+    return list(fields)
+
+
 def reference_csv_bytes(
     df: DataFrame,
     fields: list[str],
     *,
     aliases: dict[str, str] | None = None,
+    clean: "object | None" = None,
 ) -> bytes:
-    """Render ``df`` to CSV bytes exactly as the reference would."""
+    """Render ``df`` to CSV bytes exactly as the reference would.
+
+    ``clean`` is the P11 hook (core/scraper.py:141-142): a
+    DataFrame -> DataFrame callable applied between the engine results
+    and serialization — the Spark analog of ``Scraper.clean(data)``
+    (default: identity, exactly like the reference's base class).
+    """
     aliases = aliases or {}
+    if clean is not None:
+        df = clean(df)
     rows = df.collect()
     buf = StringIO()
     if not rows:
@@ -66,4 +99,5 @@ def result_filename(name: str, start: datetime, end: datetime) -> str:
     return f"{name}_{daterange}.csv"
 
 
-__all__ = ["reference_csv_bytes", "result_filename", "transform", "NO_DATA"]
+__all__ = ["compute_fields", "reference_csv_bytes", "result_filename",
+           "transform", "NO_DATA"]

@@ -54,6 +54,7 @@ def simulate_crawl(
 
     date_filtered = {"mirror", "tg_online", "newsminute"}
     kw_filtered = {"tg_epaper"}
+    headline_dedup = {"ht"}   # A3: ht.py:261-268 (key incl. ' - no data -')
 
     for gen in range(max_rounds):
         if not frontier:
@@ -107,6 +108,7 @@ def simulate_crawl(
 
         # fetch + extract
         new_links = []
+        round_records: list[dict] = []
         for e in scheduled:
             res.seen.add(e["url_canon"])
             page = page_by_canon.get(e["url_canon"])
@@ -139,7 +141,20 @@ def simulate_crawl(
                         continue
                 r = dict(rec)
                 r["gen"] = gen
+                round_records.append(r)
+
+        # A3: per-round headline dedup for sources that key on headline
+        # (engine: window over (source, title), winner = min url)
+        best_by_headline: dict[tuple, dict] = {}
+        for r in round_records:
+            if r["source"] in headline_dedup:
+                k = (r["source"], r["title"])
+                cur = best_by_headline.get(k)
+                if cur is None or r["url"] < cur["url"]:
+                    best_by_headline[k] = r
+            else:
                 res.results.append(r)
+        res.results.extend(best_by_headline.values())
 
         frontier = deferred + new_links
         for m, n in cnt.items():

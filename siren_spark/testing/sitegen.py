@@ -359,6 +359,7 @@ def _build_ht(spec: SiteSpec, rng: random.Random):
     # same id is reachable from several editions.
     partial_date: dict[str, datetime] = {}
     detail_built: set[str] = set()
+    headline_by_aid: dict[str, str] = {}
     for ed_id in range(spec.editions):
         for kw in spec.keywords:
             rows = []
@@ -398,6 +399,18 @@ def _build_ht(spec: SiteSpec, rng: random.Random):
                 body = _sentence(rng, 15, kw)
                 headline = _sentence(rng, 5)
                 no_headline = rng.random() < 0.2
+                # A3 fixture: a DIFFERENT article id in a later edition
+                # reuses edition-0's headline, so the post-fetch headline
+                # dedup (ht.py:261-268) has a real duplicate to drop —
+                # the seen-set (url identity) cannot catch this one
+                hl_src = f"HT0{kw[:2].upper()}1"
+                if ed_id > 0 and aid == f"HT{ed_id}{kw[:2].upper()}1":
+                    # reuse the EFFECTIVE title (which may itself be the
+                    # ' - no data -' default) so the collision is real
+                    headline = headline_by_aid[hl_src]
+                    no_headline = False
+                headline_by_aid[aid] = (" - no data -" if no_headline
+                                        else headline)
                 # duplicated ids keep Eddate non-null so the record does not
                 # depend on which edition's partial wins the dedup race
                 null_eddate = aid not in duplicated and rng.random() < 0.3

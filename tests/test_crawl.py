@@ -188,3 +188,16 @@ def test_bucketed_bloom_equals_broadcast(spark, site, tmp_path, engine):
     bm = spark.read.parquet(m["stats"]["bloom_table"])
     assert bm.count() <= 4                     # one row per bucket
     assert set(bm.columns) == {"bucket", "bitmap"}
+
+
+def test_ht_headline_dedup(engine, site):
+    """A3: at most one HT record per (gen, title) — and the sitegen
+    cross-edition duplicate-headline fixture guarantees the dedup
+    actually dropped records vs kernel-level output."""
+    ht = [r for r in engine.results.collect() if r.source == "ht"]
+    per: dict[tuple, int] = {}
+    for r in ht:
+        per[(r.gen, r.title)] = per.get((r.gen, r.title), 0) + 1
+    assert ht and all(v == 1 for v in per.values())
+    exp_ht = [e for e in site.expected if e["source"] == "ht"]
+    assert len(ht) < len(exp_ht)

@@ -80,3 +80,38 @@ def test_ocr_stub_and_plugged_engine(spark):
     finally:
         import siren_spark.functions.multimodal as mm
         mm._ocr_engine = None
+
+
+def test_ocr_page_chunks_pipeline(spark):
+    """J5/A6 composed pipeline vs a direct per-page dict oracle
+    (ocr.py:74-110): explode chunks -> OCR -> per-page url->text map;
+    empty OCR results excluded; pages with no matches keep {}."""
+    from siren_spark.functions import multimodal as mm
+
+    def fake_ocr(data: bytes) -> str:
+        s = data.decode()
+        return f"text:{s}" if "hit" in s else ""
+
+    pages = [
+        ("p1", [("c1", b"hit-a"), ("c2", b"miss"), ("c3", b"hit-b")]),
+        ("p2", [("c4", b"miss"), ("c5", b"miss")]),
+        ("p3", []),
+    ]
+    # the reference oracle: dict comprehension mirroring Page.search
+    expected = {
+        key: {u: fake_ocr(d) for (u, d) in chunks if fake_ocr(d)}
+        for key, chunks in pages
+    }
+
+    rows = [(k, [{"url": u, "data": d} for (u, d) in chunks])
+            for k, chunks in pages]
+    df = spark.createDataFrame(
+        rows, "page_key string, chunks array<struct<url:string,data:binary>>")
+    mm.set_ocr_engine(fake_ocr)
+    try:
+        got = {r.page_key: dict(r.matches)
+               for r in mm.ocr_page_chunks(df).collect()}
+    finally:
+        mm.set_ocr_engine(None)
+    assert got == expected
+    assert got["p3"] == {}

@@ -83,3 +83,34 @@ def test_jobs_cli_parse():
                     "--start", "2022-10-01", "--end", "2022-12-31"])
     assert a.budget == 7 and a.keywords == ["crisis", "rescue"]
     assert a.pages == "/p" and not a.resume
+
+
+def test_compute_fields_semantics():
+    """P8/P11 field-set math (core/scraper.py:117-128): include/exclude
+    on the model field SET; declared FIELDS wins wholesale."""
+    from siren_spark.sources.csv_export import compute_fields
+
+    mf = ["url", "title", "text"]
+    got = compute_fields(mf, include={"extra"}, exclude={"text"})
+    assert set(got) == {"url", "title", "extra"}     # set semantics
+    # FIELDS wins over include/exclude, and keeps declared order
+    got = compute_fields(mf, include={"x"}, exclude={"url"},
+                         class_fields=["url", "date", "edition", "text"])
+    assert got == ["url", "date", "edition", "text"]
+
+
+def test_clean_hook_applies_before_serialization(spark):
+    """P11 (core/scraper.py:141-142): clean is a DataFrame->DataFrame
+    hook between results and the CSV writer; default = identity."""
+    from pyspark.sql import functions as F
+
+    from siren_spark.sources.csv_export import reference_csv_bytes
+
+    df = spark.createDataFrame(
+        [("u1", "ok"), ("u2", "JUNK")], "url string, title string")
+    plain = reference_csv_bytes(df, ["url", "title"])
+    assert b"JUNK" in plain
+    cleaned = reference_csv_bytes(
+        df, ["url", "title"],
+        clean=lambda d: d.filter(F.col("title") != "JUNK"))
+    assert b"JUNK" not in cleaned and b"u1" in cleaned
