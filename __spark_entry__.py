@@ -575,6 +575,71 @@ def _q_simhash(docs):
     return simhash16(docs)
 
 
+def _q_simhash64(docs):
+    from siren_spark.functions.similarity import simhash64
+    return simhash64(docs)
+
+
+def _q_simhash_near_dups(docs):
+    from siren_spark.functions.similarity import simhash_near_dups
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+def _simhash64_duck() -> str:
+    """DuckDB replica of similarity.simhash64 (64 conditional sums over
+    md5-slice halves; two u32 outputs, no signed overflow)."""
+    bit = "SUM(CASE WHEN ({src} & ({one} << {i})) != 0 THEN 1 ELSE -1 END) AS s{n}"
+    sums = ", ".join(
+        [bit.format(src="hlo", one="1::BIGINT", i=i, n=i) for i in range(32)]
+        + [bit.format(src="hhi", one="1::BIGINT", i=i, n=i + 32)
+           for i in range(32)])
+    half = lambda lo: " + ".join(  # noqa: E731
+        f"CASE WHEN s{lo + i} > 0 THEN {1 << i}::BIGINT ELSE 0 END"
+        for i in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hlo,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hhi
+  FROM tok
+), sums AS (
+  SELECT doc_id, {sums} FROM th GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({half(32)} AS BIGINT) AS sim_hi,
+       CAST({half(0)} AS BIGINT) AS sim_lo
+FROM sums
+"""
+
+
+_SIMHASH64_DUCK = _simhash64_duck()
+
+# Hamming-band near-dup oracle: 64-bit signature in 4x16-bit chunks;
+# pigeonhole blocking (dist<=3 => >=1 chunk equal), verify via bit_count.
+_SIMHASH_ND_DUCK = f"""
+WITH sig AS ({_SIMHASH64_DUCK}),
+blocked AS (
+  SELECT doc_id, sim_hi, sim_lo, 0 AS c, sim_lo & 65535 AS ck FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 1, (sim_lo >> 16) & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 2, sim_hi & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 3, (sim_hi >> 16) & 65535 FROM sig
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         MIN(bit_count(xor(a.sim_hi, b.sim_hi))
+             + bit_count(xor(a.sim_lo, b.sim_lo))) AS hamming
+  FROM blocked a JOIN blocked b
+    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+) WHERE hamming <= 3
+"""
+
+
 def _q_jaccard_verify(docs):
     from siren_spark.functions.similarity import (
         jaccard_verify, minhash_lsh_pairs,
@@ -669,6 +734,9 @@ _REGISTRY: dict[str, tuple] = {
     "politeness_topk_per_host": _q(_TOPK),
     "dedup_minhash_lsh": (_docs_q(_q_minhash), _MINHASH_DUCK),
     "dedup_simhash": (_docs_q(_q_simhash), _SIMHASH_DUCK),
+    "dedup_simhash64": (_docs_q(_q_simhash64), _SIMHASH64_DUCK),
+    "simhash_hamming_pairs": (_docs_q(_q_simhash_near_dups),
+                              _SIMHASH_ND_DUCK),
     "ngram_jaccard_verify": (_docs_q(_q_jaccard_verify),
                              _JACCARD_VERIFY_DUCK),
     "ann_cosine_brute": _q(_ANN_SPARK, _ANN_DUCK),

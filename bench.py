@@ -234,7 +234,7 @@ def main() -> None:
     # i.e. quiet-host throughput) and INTERLEAVE the attempts so a
     # multi-minute steal episode cannot bias one level's whole sample.
     tries_lo = int(os.environ.get("SIREN_BENCH_TRIES_LO", "2"))
-    tries_hi = int(os.environ.get("SIREN_BENCH_TRIES_HI", "3"))
+    tries_hi = int(os.environ.get("SIREN_BENCH_TRIES_HI", "4"))
     remaining = {n: (tries_hi if n == max(levels) else tries_lo)
                  for n in levels}
     order: list[int] = []

@@ -73,6 +73,11 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_bits: int = 1 << 20
     bloom_buckets: int = 16
+    # robots gate delivery: 'broadcast' collects the rules table to the
+    # driver and broadcasts a compiled matcher (fine for ~10^3 domains);
+    # 'cogroup' ships each task exactly its domains' rule rows — the
+    # million-domain path, no driver copy (operators/robots.py).
+    robots_probe: str = "broadcast"
     # 'broadcast': driver-held filter broadcast whole (fast while total
     #   bitmap is tens of MB); 'bucketed': filter lives as a (bucket,
     #   bitmap) checkpoint table, probe cogroups frontier with bitmaps so
@@ -156,6 +161,7 @@ def _annotate_round(
     *,
     cfg: CrawlConfig,
     matcher: RobotsMatcher | None,
+    robots_df: DataFrame | None = None,
     bloom: BloomFilter | None,
     bloom_bitmaps: DataFrame | None = None,
     seen_exact: DataFrame | None,
@@ -165,15 +171,20 @@ def _annotate_round(
     spark = frontier.sparkSession
     df = frontier
 
-    # robots (broadcast matcher, vectorized)
-    if matcher is not None:
+    if robots_df is not None:
+        # cogroup gate: each task receives exactly its domains' rules —
+        # no driver collect, no whole-table broadcast (the
+        # million-domain robots path)
+        from siren_spark.operators.robots import robots_annotate_cogroup
+        df = robots_annotate_cogroup(df, robots_df)
+    elif matcher is not None:
+        # broadcast matcher, vectorized batch gate
         bc = spark.sparkContext.broadcast(matcher)
 
         @F.pandas_udf("boolean")
         def allowed_udf(domains: pd.Series, urls: pd.Series) -> pd.Series:
-            m = bc.value
-            return pd.Series([m.allowed(d, u)
-                              for d, u in zip(domains, urls)], dtype=bool)
+            return pd.Series(bc.value.allowed_batch(domains, urls),
+                             dtype=bool)
 
         df = df.withColumn("__allowed",
                            allowed_udf(F.col("domain"), F.col("url_canon")))
@@ -431,9 +442,13 @@ def run_crawl(
     pages_p = prepare_pages(pages, cfg)
 
     matcher = None
+    robots_df = None
     if robots is not None:
-        matcher = RobotsMatcher(
-            [(r["domain"], r["rules"]) for r in robots.collect()])
+        if cfg.robots_probe == "cogroup":
+            robots_df = robots
+        else:
+            matcher = RobotsMatcher(
+                [(r["domain"], r["rules"]) for r in robots.collect()])
 
     bloom: BloomFilter | None = None
     bloom_bitmaps: DataFrame | None = None   # bucketed-probe bitmap table
@@ -481,6 +496,7 @@ def run_crawl(
         # ---- job 1: annotate + commit scheduling decisions -------------
         caches: list = []
         ann = _annotate_round(frontier, cfg=cfg, matcher=matcher,
+                              robots_df=robots_df,
                               bloom=bloom, bloom_bitmaps=bloom_bitmaps,
                               seen_exact=seen_exact,
                               cache_registry=caches)

@@ -39,6 +39,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--bloom-bits", type=int, default=1 << 20)
     p.add_argument("--bloom-buckets", type=int, default=64)
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--bloom-probe", default="auto",
+                   choices=["auto", "broadcast", "bucketed"],
+                   help="bucketed = per-task one-bucket bitmap cogroup "
+                        "(the 10^10 path); auto switches above 64 MB")
+    p.add_argument("--robots-probe", default="broadcast",
+                   choices=["broadcast", "cogroup"],
+                   help="cogroup = per-domain rules shipped by shuffle "
+                        "(million-domain robots tables)")
+    p.add_argument("--seen-compact-every", type=int, default=8)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--verbose", action="store_true")
     return p.parse_args(argv)
@@ -66,6 +75,9 @@ def main(argv: list[str] | None = None) -> None:
         use_bloom=not args.no_bloom,
         bloom_bits=args.bloom_bits,
         bloom_buckets=args.bloom_buckets,
+        bloom_probe=args.bloom_probe,
+        robots_probe=args.robots_probe,
+        seen_compact_every=args.seen_compact_every,
         window_start=datetime.fromisoformat(args.start) if args.start else None,
         window_end=datetime.fromisoformat(args.end) if args.end else None,
         keywords=list(args.keywords),

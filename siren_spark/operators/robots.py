@@ -87,17 +87,86 @@ class RobotsMatcher:
         compiled = self._get(domain)
         if not compiled:
             return True
-        parts = urlsplit(url)
-        path = parts.path or "/"
-        if parts.query:
-            path += "?" + parts.query
-        best_len = -1
-        best_allow = True
-        for allow, plen, rx in compiled:
-            if rx.match(path) and plen > best_len:
-                best_len = plen
-                best_allow = allow
-        return best_allow
+        return _match_one(compiled, url)
+
+    def allowed_batch(self, domains: pd.Series, urls: pd.Series) -> list[bool]:
+        """Vectorized gate: group the batch by domain so rule lookup and
+        compilation happen once per unique domain — per-row work is
+        regex matching only."""
+        out = [True] * len(domains)
+        dvals = domains.to_numpy()
+        uvals = urls.to_numpy()
+        idx_by_dom: dict[str, list[int]] = {}
+        for i, d in enumerate(dvals):
+            idx_by_dom.setdefault(d, []).append(i)
+        for d, idxs in idx_by_dom.items():
+            compiled = self._get(d)
+            if not compiled:
+                continue
+            for i in idxs:
+                out[i] = _match_one(compiled, uvals[i])
+        return out
+
+
+def _match_one(compiled: list[tuple[bool, int, re.Pattern[str]]],
+               url: str) -> bool:
+    """Longest-match winner between Allow/Disallow (RFC 9309 §2.2.2)."""
+    parts = urlsplit(url)
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    best_len = -1
+    best_allow = True
+    for allow, plen, rx in compiled:
+        if rx.match(path) and plen > best_len:
+            best_len = plen
+            best_allow = allow
+    return best_allow
+
+
+def robots_annotate_cogroup(
+    frontier: DataFrame,
+    robots: DataFrame,
+    *,
+    url_col: str = "url_canon",
+    domain_col: str = "domain",
+    out_col: str = "__allowed",
+) -> DataFrame:
+    """Scale-path robots gate: cogroup the frontier with the rules table
+    on domain — NO driver collect, NO whole-table broadcast.
+
+    At a million-domain robots table the broadcast matcher is a driver
+    OOM; cogrouping ships each task exactly the rule rows of the
+    domains it holds, the task compiles them once, and matching is
+    vectorized over that domain's urls. Costs one shuffle of the
+    (narrow) frontier by domain — which the politeness window needs
+    anyway. Adds boolean ``out_col``.
+    """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        frontier.schema.fields + [StructField(out_col, BooleanType())])
+    in_cols = [f.name for f in frontier.schema.fields]
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=[*in_cols, out_col])
+        # one rules row per domain (dupes would make the gate ambiguous)
+        assert len(right) <= 1, f"{len(right)} robots rows for one domain"
+        if len(right) == 0:
+            left[out_col] = True
+            return left
+        compiled = [(allow, len(p), _compile(p))
+                    for allow, p in parse_robots(right["rules"].iloc[0])]
+        if not compiled:
+            left[out_col] = True
+            return left
+        left[out_col] = [_match_one(compiled, u) for u in left[url_col]]
+        return left
+
+    return (frontier.groupBy(domain_col)
+            .cogroup(robots.groupBy("domain"))
+            .applyInPandas(probe, out_schema))
 
 
 def robots_gate(
@@ -120,9 +189,7 @@ def robots_gate(
     @F.pandas_udf("boolean")
     def allowed_udf(domains: pd.Series, urls: pd.Series) -> pd.Series:
         m = bc.value
-        return pd.Series(
-            [m.allowed(d, u) for d, u in zip(domains, urls)], dtype=bool
-        )
+        return pd.Series(m.allowed_batch(domains, urls), dtype=bool)
 
     gated = frontier.withColumn(
         "__allowed", allowed_udf(F.col(domain_col), F.col(url_col))
@@ -132,4 +199,5 @@ def robots_gate(
     return allowed, blocked
 
 
-__all__ = ["parse_robots", "RobotsMatcher", "robots_gate"]
+__all__ = ["parse_robots", "RobotsMatcher", "robots_gate",
+           "robots_annotate_cogroup"]

@@ -201,3 +201,26 @@ def test_ht_headline_dedup(engine, site):
     assert ht and all(v == 1 for v in per.values())
     exp_ht = [e for e in site.expected if e["source"] == "ht"]
     assert len(ht) < len(exp_ht)
+
+
+def test_robots_cogroup_crawl_equals_broadcast(spark, site, tmp_path):
+    """The cogroup robots gate produces the identical crawl to the
+    broadcast matcher path (same blocked set, same results)."""
+    robots = spark.createDataFrame(
+        [("mirror-city.example", "User-agent: *\nDisallow: /\n")],
+        "domain string, rules string",
+    )
+    outs = []
+    for probe in ("broadcast", "cogroup"):
+        cfg = CrawlConfig(budget_per_host=BUDGET, window_start=WINDOW_START,
+                          window_end=WINDOW_END, keywords=SPEC.keywords,
+                          use_bloom=False, max_rounds=3, robots_probe=probe)
+        res = run_crawl(spark, pages_df(spark, site.pages),
+                        seeds_df(spark, site.seeds),
+                        cfg, str(tmp_path / f"ck_{probe}"), robots=robots)
+        outs.append((
+            sorted(_result_key(r.asDict()) for r in res.results.collect()),
+            sorted((r.gen, r.domain or "", r.metric, r.n)
+                   for r in res.counters.collect()),
+        ))
+    assert outs[0] == outs[1]

@@ -192,3 +192,36 @@ def test_or_reduce_matches_driver_merge(spark):
     assert set(reduced) == set(bf.bitmaps)
     for b, bm in bf.bitmaps.items():
         assert np.array_equal(np.frombuffer(reduced[b], dtype=np.uint8), bm)
+
+
+def test_robots_cogroup_matches_broadcast(spark):
+    """robots_annotate_cogroup must agree with the broadcast matcher on
+    every row (same parse, same longest-match rule; only the delivery
+    differs: per-domain cogroup vs whole-table broadcast)."""
+    from siren_spark.operators.robots import (
+        RobotsMatcher, robots_annotate_cogroup,
+    )
+
+    rules = [
+        ("a.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+        ("b.example", "User-agent: *\nDisallow: /\n"),
+        ("dup.example", "User-agent: x\nDisallow: /\n"),  # not for '*'
+    ]
+    robots = spark.createDataFrame(rules, "domain string, rules string")
+    urls = [
+        ("a.example", "https://a.example/private/x"),
+        ("a.example", "https://a.example/private/ok/y"),
+        ("a.example", "https://a.example/public"),
+        ("b.example", "https://b.example/anything"),
+        ("dup.example", "https://dup.example/z"),
+        ("norules.example", "https://norules.example/z"),
+    ]
+    frontier = spark.createDataFrame(urls, "domain string, url_canon string")
+    got = {r.url_canon: r["__allowed"] for r in
+           robots_annotate_cogroup(frontier, robots).collect()}
+    m = RobotsMatcher(rules)
+    for d, u in urls:
+        assert got[u] == m.allowed(d, u), (d, u)
+    assert got["https://a.example/private/x"] is False
+    assert got["https://a.example/private/ok/y"] is True
+    assert got["https://norules.example/z"] is True
