@@ -58,3 +58,57 @@ def test_crawl_fetch_join_broadcasts_and_pages_never_shuffle(spark):
     # (no shuffle of html at any scale)
     scan_side = p.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in scan_side, p
+
+
+def test_similarity_plans_never_cross_join(spark):
+    """Every similarity operator must block (equi-join) — a cartesian
+    or nested-loop join anywhere means the op silently degraded to
+    all-pairs and would never survive corpus scale."""
+    from siren_spark.functions.similarity import (
+        ann_lsh_topk, embedding_near_dups, minhash_lsh_pairs,
+        simhash_near_dups,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plans = {
+        "minhash": _plan(minhash_lsh_pairs(docs)),
+        "simhash_nd": _plan(simhash_near_dups(docs)),
+        "emb_nd": _plan(embedding_near_dups(emb)),
+        "ann_topk": _plan(ann_lsh_topk(
+            emb, query_filter=F.col("vec_id") < 5)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_text_ops_column_pruned_scan(spark):
+    """Text analysis reads only the columns it uses from the scan."""
+    from pyspark.sql import functions as F
+    from siren_spark.functions.text import with_token_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = with_token_counts(docs).select("doc_id", "n_tokens")
+    p = _plan(out)
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", p).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_bucketed_bloom_or_reduce_shuffles_bitmaps_not_urls(spark):
+    """or_reduce_bitmaps's shuffle carries (bucket, bitmap) rows only —
+    url columns never reach the exchange above the partial build."""
+    from siren_spark.operators.seen import (
+        build_bloom_partials, or_reduce_bitmaps,
+    )
+    seen = spark.createDataFrame(
+        [(f"https://x.example/{i}",) for i in range(50)],
+        "url_canon string")
+    reduced = or_reduce_bitmaps(
+        build_bloom_partials(seen, "url_canon",
+                             bits_per_bucket=1 << 12, buckets=4))
+    p = _plan(reduced)
+    tail = p.split("MapInArrow")[-1] if "MapInArrow" in p else p
+    assert "url_canon" not in tail, p
