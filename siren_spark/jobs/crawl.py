@@ -19,7 +19,8 @@ buckets, max rounds). No driver-side per-row Python anywhere.
 from __future__ import annotations
 
 import argparse
-from datetime import datetime
+import tomllib
+from datetime import datetime, timedelta
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
@@ -31,6 +32,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--robots", default=None,
                    help="robots parquet (domain string, rules string)")
     p.add_argument("--keywords", nargs="*", default=[])
+    # accepted-and-unused, like the reference: ignore_keywords is parsed
+    # by __main__.py:52 but no scraper ever reads it (SURVEY §2.2 P5)
+    p.add_argument("--ignore-keywords", nargs="*", default=[])
+    p.add_argument("--scraper", default=None,
+                   help="restrict the crawl to one source's seeds "
+                        "(reference --scraper, __main__.py:47)")
+    p.add_argument("--config", default=None,
+                   help="TOML config (reference config.toml field names; "
+                        "CLI flags win where both are given)")
+    p.add_argument("--days", type=int, default=1,
+                   help="window length when only one of --start/--end is "
+                        "given (reference __main__.py:70-77 semantics)")
     p.add_argument("--start", default=None)
     p.add_argument("--end", default=None)
     p.add_argument("--budget", type=int, default=50)  # config.toml:10
@@ -50,7 +63,44 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--seen-compact-every", type=int, default=8)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--verbose", action="store_true")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    return resolve_config(args)
+
+
+def resolve_config(args: argparse.Namespace) -> argparse.Namespace:
+    """Apply the reference's config/date-window resolution rules.
+
+    TOML fields (config.toml:1-16 names) fill unset flags; the date
+    window defaults follow __main__.py:70-77 exactly: neither given ->
+    [now, now+days]; only start -> end = start+days; only end ->
+    start = end-days.
+    """
+    if args.config:
+        with open(args.config, "rb") as f:
+            cfg = tomllib.load(f)
+        if not args.keywords:
+            args.keywords = list(cfg.get("keywords", []))
+        if not args.ignore_keywords:
+            args.ignore_keywords = list(cfg.get("ignore_keywords", []))
+        if args.scraper is None:
+            args.scraper = cfg.get("scraper")
+        if args.start is None and "start" in cfg:
+            args.start = str(cfg["start"])[:10]
+        if args.end is None and "end" in cfg:
+            args.end = str(cfg["end"])[:10]
+        if "max_concurrency" in cfg and args.budget == 50:
+            args.budget = int(cfg["max_concurrency"])
+    if not args.start and not args.end:
+        args.start = datetime.now().strftime("%Y-%m-%d")
+        args.end = (datetime.now()
+                    + timedelta(days=args.days)).strftime("%Y-%m-%d")
+    elif args.start and not args.end:
+        args.end = (datetime.fromisoformat(args.start)
+                    + timedelta(days=args.days)).strftime("%Y-%m-%d")
+    elif args.end and not args.start:
+        args.start = (datetime.fromisoformat(args.end)
+                      - timedelta(days=args.days)).strftime("%Y-%m-%d")
+    return args
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -66,6 +116,9 @@ def main(argv: list[str] | None = None) -> None:
         store = ParquetPageStore(args.pages)
     pages = store.read(spark)
     seeds = spark.read.parquet(args.seeds)
+    if args.scraper and "source" in seeds.columns:
+        from pyspark.sql import functions as F
+        seeds = seeds.filter(F.col("source") == args.scraper)
     robots = spark.read.parquet(args.robots) if args.robots else None
 
     cfg = CrawlConfig(

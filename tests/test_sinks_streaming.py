@@ -114,3 +114,81 @@ def test_clean_hook_applies_before_serialization(spark):
         df, ["url", "title"],
         clean=lambda d: d.filter(F.col("title") != "JUNK"))
     assert b"JUNK" not in cleaned and b"u1" in cleaned
+
+
+def test_cli_config_and_date_window_resolution(tmp_path):
+    """S12: TOML config fill-in + the reference's date-window defaulting
+    (__main__.py:70-77): one-sided windows extend by --days."""
+    from siren_spark.jobs.crawl import parse_args
+
+    base = ["--pages", "p", "--seeds", "s", "--checkpoint", "c"]
+    a = parse_args([*base, "--start", "2022-10-01", "--days", "3"])
+    assert (a.start, a.end) == ("2022-10-01", "2022-10-04")
+    a = parse_args([*base, "--end", "2022-10-10", "--days", "2"])
+    assert (a.start, a.end) == ("2022-10-08", "2022-10-10")
+    a = parse_args([*base, "--start", "2022-10-01", "--end", "2022-12-31"])
+    assert (a.start, a.end) == ("2022-10-01", "2022-12-31")
+
+    cfgp = tmp_path / "c.toml"
+    cfgp.write_text(
+        'scraper = "mirror"\nkeywords = ["crisis", "rescue"]\n'
+        'ignore_keywords = ["bomb"]\nstart = 2022-10-01\nend = 2022-12-31\n'
+        'max_concurrency = 7\n')
+    a = parse_args([*base, "--config", str(cfgp)])
+    assert a.scraper == "mirror" and a.keywords == ["crisis", "rescue"]
+    assert a.ignore_keywords == ["bomb"]          # parsed, unused (P5)
+    assert (a.start, a.end) == ("2022-10-01", "2022-12-31")
+    assert a.budget == 7
+    # CLI flags win over the TOML
+    a = parse_args([*base, "--config", str(cfgp), "--keywords", "flood",
+                    "--budget", "9"])
+    assert a.keywords == ["flood"] and a.budget == 9
+
+
+def test_stateful_politeness_throttle_across_batches(spark, tmp_path):
+    """applyInPandasWithState politeness: per-host budget persists
+    across micro-batches — a host cannot exceed its budget by spreading
+    arrivals over many small batches."""
+    import time
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    from siren_spark.streaming.politeness_state import run_throttle_query
+
+    schema = StructType([
+        StructField("domain", StringType()),
+        StructField("url_canon", StringType()),
+        StructField("priority", DoubleType()),
+    ])
+    src = str(tmp_path / "src")
+    # batch 1: 3 hot rows + 1 cold; batch 2: 4 hot + 1 cold
+    b1 = [("hot.example", f"https://hot.example/{i}", 1.0 - i / 10)
+          for i in range(3)] + [("cold.example", "https://cold.example/0", 1.0)]
+    b2 = [("hot.example", f"https://hot.example/{i}", 1.0 - i / 10)
+          for i in range(3, 7)] + [("cold.example", "https://cold.example/1", 1.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    links = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").format("parquet").load(src))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = run_throttle_query(links, out, ck, budget_per_host=5)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q = run_throttle_query(links, out, ck, budget_per_host=5)
+    q.awaitTermination(120)
+    time.sleep(0.5)
+
+    rows = spark.read.parquet(out).collect()
+    admitted = {r.url_canon for r in rows if r.admitted == 1}
+    deferred = {r.url_canon for r in rows if r.admitted == 0}
+    hot_admitted = {u for u in admitted if "hot" in u}
+    assert len(hot_admitted) == 5                  # budget across batches
+    # deterministic: highest-priority hot urls (lowest i) admitted
+    assert hot_admitted == {f"https://hot.example/{i}" for i in range(5)}
+    assert {u for u in deferred if "hot" in u} == {
+        "https://hot.example/5", "https://hot.example/6"}
+    assert {u for u in admitted if "cold" in u} == {
+        "https://cold.example/0", "https://cold.example/1"}
