@@ -558,6 +558,34 @@ def _q_quality(docs):
         "avg_word_len", "length_score")
 
 
+def _q_text_stats(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.text import with_text_stats
+    return with_text_stats(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "stopword_ratio", "punct_ratio", "alpha_ratio")
+
+
+def _text_stats_duck() -> str:
+    from siren_spark.functions.text import STOPWORDS
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> list_contains({sw}, x))) AS DOUBLE)
+             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 4)
+         AS stopword_ratio,
+       ROUND(CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS DOUBLE)
+             / CAST(length(lower(text)) AS DOUBLE), 4) AS punct_ratio,
+       ROUND(CAST(len(regexp_extract_all(lower(text), '[a-z]', 0)) AS DOUBLE)
+             / CAST(length(lower(text)) AS DOUBLE), 4) AS alpha_ratio
+FROM documents WHERE length(text) > 0
+"""
+
+
+_TEXT_STATS_DUCK = _text_stats_duck()
+
+
 def _q_fingerprint(docs):
     from pyspark.sql import functions as F
     from siren_spark.functions.text import with_fingerprint
@@ -676,6 +704,57 @@ def _q_ann_lsh_topk(emb):
                         k=3, n_planes=4, multiprobe=True)
 
 
+def _q_ann_ivf_topk(emb):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.similarity import ann_ivf_topk
+    return ann_ivf_topk(emb, query_filter=F.col("vec_id") < 5,
+                        k=3, n_centroids=8, nprobe=2)
+
+
+# IVF oracle: centroids = first 8 vectors (the deterministic quantizer
+# the engine uses); assignment ranks ROUND(cos,6) DESC, cent_id ASC on
+# both dialects so cell boundaries match bit-for-bit.
+_ANN_IVF_TOPK_DUCK = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS ev
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cent_id, ev AS cv FROM e WHERE vec_id < 8
+), s AS (
+  SELECT e.vec_id, e.ev, c.cent_id,
+         ROUND(CAST(CAST(list_sum(list_transform(list_zip(e.ev, c.cv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(CAST(list_sum(list_transform(e.ev, x -> x * x)) AS BIGINT) AS DOUBLE)
+                      * CAST(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS BIGINT) AS DOUBLE)), 6) AS ccos
+  FROM e CROSS JOIN c
+), r AS (
+  SELECT vec_id, ev, cent_id, ccos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cent_id ASC) AS rn
+  FROM s
+), db AS (
+  SELECT vec_id, ev, cent_id AS cell FROM r WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, ev AS qv, cent_id AS cell
+  FROM r WHERE vec_id < 5 AND rn <= 2
+), cand AS (
+  SELECT q.q_id, q.qv, d.vec_id, d.ev
+  FROM q JOIN db d USING (cell) WHERE q.q_id <> d.vec_id
+), sc AS (
+  SELECT q_id, vec_id,
+         ROUND(CAST(CAST(list_sum(list_transform(list_zip(qv, ev), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS DOUBLE)
+                      * CAST(CAST(list_sum(list_transform(ev, x -> x * x)) AS BIGINT) AS DOUBLE)), 6) AS cosine
+  FROM cand
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM (SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM sc) WHERE rn <= 3
+"""
+
+
 # LSH-blocked top-k search oracle: same 4 planes as the engine, probe =
 # own bucket + every 1-bit flip, exact cosine in-bucket, rank on the
 # rounded cosine (ties on vec_id) — mirrors similarity.ann_lsh_topk.
@@ -743,11 +822,13 @@ _REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": _q(_ANN_TOPK_SPARK, _ANN_TOPK_DUCK),
     "ann_lsh_buckets": (_emb_q(_q_lsh_buckets), _IVF_DUCK),
     "ann_lsh_topk": (_emb_q(_q_ann_lsh_topk), _ANN_LSH_TOPK_DUCK),
+    "ann_ivf_topk": (_emb_q(_q_ann_ivf_topk), _ANN_IVF_TOPK_DUCK),
     "dedup_embedding_cosine": (_emb_q(_q_emb_dedup), _EMB_DEDUP_DUCK),
     "text_langid": (_docs_q(_q_langid), _LANGID),
     "text_token_count": (_docs_q(_q_tokcount), _TOKCOUNT),
     "text_token_bpe": (_docs_q(_q_tokbpe), _TOK_BPE_DUCK),
     "text_quality_score": (_docs_q(_q_quality), _QUALITY),
+    "text_stats": (_docs_q(_q_text_stats), _TEXT_STATS_DUCK),
     "doc_fingerprint": (_docs_q(_q_fingerprint), _FINGERPRINT_DUCK),
     "k9_url_canonicalize": (_q_canonicalize, _CANON_ORACLE),
 }

@@ -423,7 +423,60 @@ def ann_lsh_topk(
             .where(F.col("rn") <= k).drop("rn"))
 
 
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    query_filter: Column,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(q_id, vec_id, cosine): top-k neighbors via an IVF index.
+
+    Coarse quantizer: the first ``n_centroids`` vectors (by id) act as
+    centroids — the deterministic stand-in for training the quantizer
+    on a sample, chosen so the DuckDB oracle can re-derive it exactly.
+    Every vector is assigned to its nearest centroid (exact integer
+    cosine, ties to the lowest centroid id); queries probe their
+    ``nprobe`` nearest cells and score candidates exactly.
+
+    Plan note: the assignment stage deliberately scores all
+    ``n_centroids`` per vector through a broadcast of the K-row
+    centroid table — O(N·K) with tiny constant K is intrinsic to IVF
+    assignment and is NOT an all-pairs corpus join. The candidate join
+    is an equi-join on cell id.
+    """
+    e = df.select(F.col(id_col).alias("vec_id"),
+                  quantize_embedding(F.col(emb_col)).alias("ev"))
+    cents = (e.where(F.col("vec_id") < n_centroids)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("ev").alias("cv")))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "ev", "cent_id",
+        _cosine(F.col("ev"), F.col("cv")).alias("ccos"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
+                                             F.asc("cent_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    db = (ranked.where(F.col("rn") == 1)
+          .select("vec_id", "ev", F.col("cent_id").alias("cell")))
+    qs = (ranked.where(query_filter & (F.col("rn") <= nprobe))
+          .select(F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"),
+                  F.col("cent_id").alias("cell")))
+    cand = (qs.join(db, "cell")
+            .where(F.col("q_id") != F.col("vec_id")))
+    out = cand.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _cosine(F.col("qv"), F.col("ev")).alias("cosine"))
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                            F.asc("vec_id"))
+    return (out.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
 __all__ = ["minhash_signatures", "minhash_band_keys", "minhash_lsh_pairs",
            "jaccard_verify", "simhash16", "simhash64", "simhash_near_dups",
            "quantize_embedding", "embedding_lsh_buckets",
-           "embedding_near_dups", "ann_lsh_topk"]
+           "embedding_near_dups", "ann_lsh_topk", "ann_ivf_topk"]

@@ -98,6 +98,40 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
                         F.lit(40)))))
 
 
+# the classic tiny English stopword core used by quality filters; kept
+# short and fixed so the oracle gate can replicate it verbatim
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "for", "on", "with", "as", "at", "by", "that", "this")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add the standard quality-filter signal columns (all ROUND(...,4)):
+
+    - ``stopword_ratio``: stopword tokens / tokens — near-0 suggests
+      non-English or keyword-stuffed pages, near-1 suggests boilerplate;
+    - ``punct_ratio``: non-alphanumeric-non-space chars / chars — high
+      values flag code, tables, navigation soup;
+    - ``alpha_ratio``: alphabetic chars / chars.
+
+    Gopher/C4-style heuristics as pure column math — one pass, no UDF.
+    """
+    t = F.lower(F.col(text_col))
+    toks = F.split(t, " ")
+    n_tok = F.size(toks).cast("double")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) \
+        .cast("double")
+    n_chars = F.length(t).cast("double")
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^a-z0-9 ]"), 0)) \
+        .cast("double")
+    n_alpha = F.size(F.regexp_extract_all(t, F.lit("[a-z]"), 0)) \
+        .cast("double")
+    return (df.filter(F.length(t) > 0)
+            .withColumn("stopword_ratio", F.round(n_sw / n_tok, 4))
+            .withColumn("punct_ratio", F.round(n_punct / n_chars, 4))
+            .withColumn("alpha_ratio", F.round(n_alpha / n_chars, 4)))
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups: (text_hash, canonical_doc, dup_count).
@@ -111,5 +145,5 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 
 __all__ = ["with_token_counts", "with_bpe_token_count", "with_langid",
-           "with_quality_score", "with_fingerprint", "dedup_exact",
-           "BPE_PRETOKEN_RE"]
+           "with_quality_score", "with_text_stats", "with_fingerprint",
+           "dedup_exact", "BPE_PRETOKEN_RE", "STOPWORDS"]

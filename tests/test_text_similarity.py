@@ -159,3 +159,36 @@ def test_ann_lsh_topk_recall_and_plan(spark):
     assert recall >= 0.5, recall
     assert all(len([p for p in got_pairs if p[0] == q]) <= 3
                for q in range(5))
+
+
+def test_text_stats_values(spark):
+    from siren_spark.functions.text import with_text_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat"), (2, "xyzzy, qwerty!!")],
+        "doc_id long, text string")
+    r = {x.doc_id: x for x in with_text_stats(df).collect()}
+    # 'the', 'on', 'a' are stopwords: 3/6
+    assert r[1].stopword_ratio == 0.5
+    assert r[1].punct_ratio == 0.0
+    assert r[2].stopword_ratio == 0.0
+    assert r[2].punct_ratio == round(3 / 15, 4)   # , ! !
+    assert r[2].alpha_ratio == round(11 / 15, 4)
+
+
+def test_ann_ivf_topk_recall_and_cells(spark):
+    """IVF: every db vector lands in exactly one cell; nprobe=2 search
+    reaches decent recall vs brute force on the fixed fixture."""
+    from pyspark.sql import functions as F
+
+    from siren_spark.functions.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = ann_ivf_topk(emb, query_filter=F.col("vec_id") < 5,
+                       k=3, n_centroids=8, nprobe=2)
+    rows = got.collect()
+    assert all(len([r for r in rows if r.q_id == q]) <= 3 for q in range(5))
+    got_pairs = {(r.q_id, r.vec_id) for r in rows}
+    exp_pairs = {(r.q_id, r.vec_id) for r in _brute_topk(spark, emb).collect()}
+    recall = len(got_pairs & exp_pairs) / len(exp_pairs)
+    assert recall >= 0.4, recall
