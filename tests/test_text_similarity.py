@@ -192,3 +192,52 @@ def test_ann_ivf_topk_recall_and_cells(spark):
     exp_pairs = {(r.q_id, r.vec_id) for r in _brute_topk(spark, emb).collect()}
     recall = len(got_pairs & exp_pairs) / len(exp_pairs)
     assert recall >= 0.4, recall
+
+
+def test_langid_ngram_classifier(spark):
+    """Production-shaped lang-ID: trigram profiles via pandas UDF —
+    separates en/de/fr/es prose and falls back to 'und' on short or
+    null text. Deterministic and partition-independent."""
+    from siren_spark.functions.langid import classify, langid_udf
+
+    samples = [
+        (1, "the children walked to the school because they wanted to "
+            "learn about the history of their city", "en"),
+        (2, "die kinder gingen zur schule weil sie etwas ueber die "
+            "geschichte ihrer stadt lernen wollten", "de"),
+        (3, "les enfants sont alles a l ecole parce qu ils voulaient "
+            "apprendre l histoire de leur ville", "fr"),
+        (4, "los ninos caminaron a la escuela porque querian aprender "
+            "sobre la historia de su ciudad", "es"),
+        (5, "xy", "und"),
+        (6, None, "und"),
+    ]
+    for _id, text, want in samples:
+        if text is not None:
+            assert classify(text) == want, (text, classify(text))
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in
+           df.withColumn("lang", langid_udf()(F.col("text"))).collect()}
+    assert got == {i: want for i, _, want in samples}
+    # partition-independent
+    got2 = {r.doc_id: r.lang for r in
+            df.repartition(5).withColumn(
+                "lang", langid_udf()(F.col("text"))).collect()}
+    assert got2 == got
+
+
+def test_similarity_results_partition_invariant(spark, docs):
+    """Dedup outputs are a pure function of the data, not of the
+    physical partitioning (the determinism the N-vs-4N comparison and
+    the value-hash oracle both rely on)."""
+    from siren_spark.functions.similarity import minhash_lsh_pairs, simhash64
+
+    a = sorted((r.doc_a, r.doc_b)
+               for r in minhash_lsh_pairs(docs).collect())
+    b = sorted((r.doc_a, r.doc_b)
+               for r in minhash_lsh_pairs(docs.repartition(7)).collect())
+    assert a == b
+    sa = sorted(tuple(r) for r in simhash64(docs).collect())
+    sb = sorted(tuple(r) for r in simhash64(docs.repartition(7)).collect())
+    assert sa == sb
