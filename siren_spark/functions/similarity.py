@@ -302,9 +302,11 @@ def simhash_near_dups(
 # Embedding LSH (sign-random-projection) — near-dup + top-k search
 # ---------------------------------------------------------------------------
 
-# plane multipliers: distinct non-zero residues mod 13 so no two planes
-# share a weight pattern (supports up to 12 planes)
-_PLANE_MULTS = [1, 2, 3, 5, 7, 11, 17, 19, 23, 31, 37, 41]
+# plane multipliers: the weight pattern is a function of mult mod 13,
+# so the 12 usable planes are exactly the 12 distinct non-zero residues.
+# The first four stay (1,2,3,5) — they are pinned by the DuckDB oracles.
+_PLANE_MULTS = [1, 2, 3, 5, 4, 6, 7, 8, 9, 10, 11, 12]
+assert len({m % 13 for m in _PLANE_MULTS}) == len(_PLANE_MULTS)
 
 
 def quantize_embedding(emb: Column) -> Column:
