@@ -39,13 +39,20 @@ from pyspark.sql import functions as F
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to default parallelism when the input arrives in
-    fewer partitions (e.g. one small parquet file). At corpus scale the
+    """Repartition up to default parallelism when the input arrives as
+    fewer files (e.g. one small parquet file). At corpus scale the
     condition is false and this is a no-op — no gratuitous shuffle —
     but a single-file test input would otherwise pin the whole
-    shingle/token stage to one core."""
+    shingle/token stage to one core.
+
+    ``inputFiles()`` is a metadata listing; the obvious alternative
+    (``df.rdd.getNumPartitions()``) forces a DataFrame->RDD conversion
+    that costs ~3 s of driver latency per call on a fresh session.
+    In-memory frames report no files and pass through untouched.
+    """
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < p:
         return df.repartition(p)
     return df
 
