@@ -224,3 +224,26 @@ def test_robots_cogroup_crawl_equals_broadcast(spark, site, tmp_path):
                    for r in res.counters.collect()),
         ))
     assert outs[0] == outs[1]
+
+
+def test_scale_paths_combined_equal_defaults(spark, site, tmp_path):
+    """bucketed Bloom + cogroup robots TOGETHER (the full 10^10
+    configuration) crawl identically to the broadcast defaults."""
+    robots = spark.createDataFrame(
+        [("mirror-city.example", "User-agent: *\nDisallow: /\n")],
+        "domain string, rules string",
+    )
+    outs = []
+    for probe in ({"robots_probe": "broadcast", "bloom_probe": "broadcast"},
+                  {"robots_probe": "cogroup", "bloom_probe": "bucketed"}):
+        cfg = CrawlConfig(budget_per_host=BUDGET, window_start=WINDOW_START,
+                          window_end=WINDOW_END, keywords=SPEC.keywords,
+                          use_bloom=True, bloom_bits=1 << 16, bloom_buckets=4,
+                          salt_buckets=4, max_rounds=3, **probe)
+        res = run_crawl(spark, pages_df(spark, site.pages),
+                        seeds_df(spark, site.seeds),
+                        cfg, str(tmp_path / f"ck_{probe['bloom_probe']}"),
+                        robots=robots)
+        outs.append(sorted(_result_key(r.asDict())
+                           for r in res.results.collect()))
+    assert outs[0] == outs[1]
