@@ -113,13 +113,9 @@ SELECT md5(text) AS text_hash,
 FROM documents GROUP BY md5(text)
 """
 
-# the seen-set anti-join shape (A2): customers with no "urgent" order
-_A2 = """
-SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name AS c_name
-FROM customer c LEFT ANTI JOIN
-  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
-  ON c.c_custkey = o.o_custkey
-"""
+# the seen-set anti-join (A2): customers with no "urgent" order. The
+# Spark side is the REAL operators/seen.filter_unseen (Bloom negatives
+# skip the join; maybe-seen rows exact-confirm); this is its oracle.
 _A2_DUCK = """
 SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name AS c_name
 FROM customer c WHERE NOT EXISTS (
@@ -792,6 +788,74 @@ FROM (SELECT q_id, vec_id, cosine,
       FROM s) WHERE rn <= 3
 """
 
+def _q_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL salted two-phase politeness operator over a
+    customers-as-frontier mapping (domain=nation, priority=acctbal;
+    url_canon zero-padded so string order == numeric custkey order,
+    matching the oracle's tie-break)."""
+    from pyspark.sql import functions as F
+    from siren_spark.operators.politeness import politeness_schedule
+    _views(spark, sf_dir)
+    frontier = spark.table("customer").select(
+        F.col("c_nationkey").cast("string").alias("domain"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("url_canon"),
+        F.col("c_acctbal").cast("double").alias("priority"))
+    sched, _ = politeness_schedule(frontier, budget_per_host=5,
+                                   salt_buckets=4)
+    return sched.select(
+        F.col("domain").cast("bigint").alias("c_nationkey"),
+        F.col("url_canon").cast("bigint").alias("c_custkey"),
+        F.round(F.col("priority") * 100).cast("bigint").alias("acctbal_c"))
+
+
+def _q_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Bloom+exact-confirm seen filter (operators/seen.py):
+    customers are the frontier, urgent-order custkeys the seen set."""
+    from pyspark.sql import functions as F
+    from siren_spark.operators.seen import filter_unseen
+    _views(spark, sf_dir)
+    frontier = spark.table("customer").select(
+        F.col("c_custkey").cast("string").alias("url_canon"),
+        F.col("c_custkey").alias("key"), F.col("c_name"))
+    seen = spark.sql("""
+        SELECT DISTINCT CAST(o_custkey AS STRING) AS url_canon
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """)
+    out = filter_unseen(frontier, seen, bloom=True,
+                        bits_per_bucket=1 << 16, buckets=4)
+    return out.select(F.col("key").cast("long").alias("c_custkey"),
+                      F.col("c_name").alias("c_name"))
+
+
+def _q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole engine, end to end: deterministic sitegen web -> full
+    crawl (robots off, bloom on, politeness budget) -> extracted
+    records. Stateful and multi-round, hence no SQL oracle (the driver
+    records the rows-only check); byte-level semantics are pinned by
+    the frontier-equivalence pytest suite against the single-process
+    oracle simulator."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from siren_spark.crawl import CrawlConfig, run_crawl
+    from siren_spark.testing.frames import pages_df, seeds_df
+    from siren_spark.testing.sitegen import (
+        SiteSpec, WINDOW_END, WINDOW_START, build_site,
+    )
+    spec = SiteSpec(mirror_seed_range=(10, 12))
+    site = build_site(spec)
+    cfg = CrawlConfig(budget_per_host=7, window_start=WINDOW_START,
+                      window_end=WINDOW_END, keywords=spec.keywords,
+                      use_bloom=True, bloom_bits=1 << 16, bloom_buckets=4,
+                      salt_buckets=4)
+    ckpt = tempfile.mkdtemp(prefix="entry_crawl_")
+    res = run_crawl(spark, pages_df(spark, site.pages),
+                    seeds_df(spark, site.seeds), cfg, ckpt)
+    return res.results.select(
+        "source", "url", "title",
+        F.col("gen").cast("long").alias("gen"))
+
+
 _REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": _q(_Q1_SPARK, _Q1_DUCK),
     "p1_date_window_filter": _q(_P1),
@@ -800,7 +864,7 @@ _REGISTRY: dict[str, tuple] = {
     "p9_computed_coalesce": _q(_P9_SPARK, _P9_DUCK),
     "p6_validity_filter": _q(_P6),
     "a1_dedup_exact": (_docs_q(_q_dedup_exact), _A1),
-    "a2_anti_join_unseen": _q(_A2, _A2_DUCK),
+    "a2_anti_join_unseen": (_q_unseen, _A2_DUCK),
     "a3_latest_per_key": _q(_A3),
     "a5_counters_rollup": _q(_A5),
     "a6_group_collect": _q(_A6_SPARK, _A6_DUCK),
@@ -810,7 +874,8 @@ _REGISTRY: dict[str, tuple] = {
     "f1_page_arithmetic": _q(_F1),
     "f2_fixed_range_fanout": _q(_F2_SPARK, _F2_DUCK),
     "f3_date_step_fanout": _q(_F3_SPARK, _F3_DUCK),
-    "politeness_topk_per_host": _q(_TOPK),
+    "politeness_topk_per_host": (_q_politeness, _TOPK),
+    "crawl_end_to_end": (_q_crawl_end_to_end, None),
     "dedup_minhash_lsh": (_docs_q(_q_minhash), _MINHASH_DUCK),
     "dedup_simhash": (_docs_q(_q_simhash), _SIMHASH_DUCK),
     "dedup_simhash64": (_docs_q(_q_simhash64), _SIMHASH64_DUCK),

@@ -135,7 +135,6 @@ def test_bucketed_probe_matches_broadcast_filter(spark):
     """probe_bloom_bucketed must agree with the driver-side BloomFilter
     on every row (same hashes, same bitmaps — only the delivery path
     differs: cogroup-per-bucket vs whole-filter broadcast)."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from siren_spark.operators.seen import (
