@@ -405,6 +405,11 @@ WITH e AS (
        + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 3 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 2 ELSE 0 END
        + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 5 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bucket
   FROM e
+  QUALIFY COUNT(*) OVER (PARTITION BY
+         CASE WHEN CAST(list_sum([ev[i+1] * ((i * 1 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 8 ELSE 0 END
+       + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 2 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 4 ELSE 0 END
+       + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 3 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 2 ELSE 0 END
+       + CASE WHEN CAST(list_sum([ev[i+1] * ((i * 5 + 7) % 13 - 6) for i in generate_series(0, len(ev)-1)]) AS BIGINT) > 0 THEN 1 ELSE 0 END) <= 4096
 ), p AS (
   SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          CAST(list_sum(list_transform(list_zip(x.ev, y.ev), q -> q[1] * q[2])) AS BIGINT) AS dot,

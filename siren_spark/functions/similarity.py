@@ -370,12 +370,23 @@ def embedding_near_dups(
     *,
     threshold: float = 0.35,
     n_planes: int = 4,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) pairs with cosine >= threshold, blocked by
     sign-LSH bucket (pairs only form inside a bucket — the 10^10-scale
     shape; raise ``n_planes`` toward 2·log2(N) as the corpus grows so
-    buckets stay sub-quadratic)."""
+    buckets stay sub-quadratic).
+
+    ``bucket_cap`` bounds the within-bucket self-join the same way
+    minhash's band_cap does: a degenerate bucket (e.g. a zero-vector
+    pile, or too few planes for the corpus) would otherwise go
+    quadratic inside one task; buckets above the cap are dropped — the
+    signal to raise ``n_planes``, not to eat the join."""
     bb = embedding_lsh_buckets(df, id_col, emb_col, n_planes=n_planes)
+    if bucket_cap is not None:
+        w = Window.partitionBy("bucket")
+        bb = (bb.withColumn("__n", F.count(F.lit(1)).over(w))
+              .where(F.col("__n") <= bucket_cap).drop("__n"))
     x, y = bb.alias("x"), bb.alias("y")
     raw = (_dot(F.col("x.ev"), F.col("y.ev")).cast("double")
            / F.sqrt(_dot(F.col("x.ev"), F.col("x.ev")).cast("double")

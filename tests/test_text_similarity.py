@@ -241,3 +241,16 @@ def test_similarity_results_partition_invariant(spark, docs):
     sa = sorted(tuple(r) for r in simhash64(docs).collect())
     sb = sorted(tuple(r) for r in simhash64(docs.repartition(7)).collect())
     assert sa == sb
+
+
+def test_embedding_bucket_cap(spark):
+    """bucket_cap drops degenerate buckets instead of letting the
+    within-bucket self-join go quadratic."""
+    from siren_spark.functions.similarity import embedding_near_dups
+
+    # 20 near-identical vectors -> one bucket of 20
+    rows = [(i, [1.0 + i * 1e-6] * 8) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert embedding_near_dups(df, bucket_cap=None).count() == 190  # 20C2
+    assert embedding_near_dups(df, bucket_cap=10).count() == 0
+    assert embedding_near_dups(df, bucket_cap=20).count() == 190
