@@ -55,12 +55,18 @@ def _phase_queries() -> None:
     spark = get_spark(f"local[{CPUS}]", app_name="bench_queries",
                       shuffle_partitions=int(CPUS))
     qs = entrymod.queries()
+    # best-of-2 per query: host-steal storms swing a single execution
+    # up to 3x (22.0s vs 6.9s observed for the same minhash plan within
+    # one hour); the second pass also absorbs first-pass codegen
     out: dict[str, float] = {}
-    for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+    for _rep in range(2):
+        for name in HEADLINE:
+            df = qs[name](spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in out or dt < out[name]:
+                out[name] = dt
     print(json.dumps(out))
 
 
