@@ -853,12 +853,20 @@ def _q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                       window_end=WINDOW_END, keywords=spec.keywords,
                       use_bloom=True, bloom_bits=1 << 16, bloom_buckets=4,
                       salt_buckets=4)
+    import shutil
     ckpt = tempfile.mkdtemp(prefix="entry_crawl_")
-    res = run_crawl(spark, pages_df(spark, site.pages),
-                    seeds_df(spark, site.seeds), cfg, ckpt)
-    return res.results.select(
-        "source", "url", "title",
-        F.col("gen").cast("long").alias("gen"))
+    try:
+        res = run_crawl(spark, pages_df(spark, site.pages),
+                        seeds_df(spark, site.seeds), cfg, ckpt)
+        out = res.results.select(
+            "source", "url", "title",
+            F.col("gen").cast("long").alias("gen"))
+        # materialize before the checkpoint dir is removed — the result
+        # frame otherwise reads the deleted parquet lazily
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 _REGISTRY: dict[str, tuple] = {
