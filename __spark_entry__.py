@@ -262,6 +262,34 @@ FROM bands a JOIN bands b
 GROUP BY a.doc_id, b.doc_id
 """
 
+# near-dup cluster resolution: the MinHash pair frame -> connected
+# components -> one canonical keeper per cluster (min doc id). Spark
+# side = the REAL similarity.dedup_components (alternating large-star/
+# small-star joins); the oracle walks reachability with a recursive CTE
+# over the identical pair frame, so component boundaries must agree
+# exactly. Docs in no pair are their own canonical component.
+_COMPONENTS_DUCK = f"""
+WITH RECURSIVE pr AS ({_MINHASH_DUCK}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pr
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pr
+),
+walk(node, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id,
+       CAST(CASE WHEN COALESCE(c.component_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
 # exact-Jaccard verification of the MinHash candidates (the verify
 # stage after LSH blocking — two id equi-joins, never all-pairs)
 _JACCARD_VERIFY_DUCK = f"""
@@ -669,6 +697,14 @@ SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM (
 """
 
 
+def _q_dedup_components(docs):
+    from siren_spark.functions.similarity import (
+        dedup_components, minhash_lsh_pairs,
+    )
+    pairs = minhash_lsh_pairs(docs, perms=8, bands=4, band_cap=256)
+    return dedup_components(pairs, ids=docs.select("doc_id"))
+
+
 def _q_jaccard_verify(docs):
     from siren_spark.functions.similarity import (
         jaccard_verify, minhash_lsh_pairs,
@@ -896,6 +932,7 @@ _REGISTRY: dict[str, tuple] = {
                               _SIMHASH_ND_DUCK),
     "ngram_jaccard_verify": (_docs_q(_q_jaccard_verify),
                              _JACCARD_VERIFY_DUCK),
+    "dedup_components": (_docs_q(_q_dedup_components), _COMPONENTS_DUCK),
     "ann_cosine_brute": _q(_ANN_SPARK, _ANN_DUCK),
     "ann_cosine_topk": _q(_ANN_TOPK_SPARK, _ANN_TOPK_DUCK),
     "ann_lsh_buckets": (_emb_q(_q_lsh_buckets), _IVF_DUCK),

@@ -82,16 +82,18 @@ def minhash_signatures(
     """(id, m0..m{perms-1}) minhash signature per document.
 
     ``perms`` permutations come from disjoint 8-hex-char slices of
-    md5(s)||md5(s||'#') per shingle — 2 hashes instead of ``perms``
-    (perms <= 16 with two md5s). Documents with fewer than
-    ``shingle_size`` tokens are dropped (no shingle exists; both SQL
-    dialects agree on this rule).
+    md5(s)||md5(s||'#')||md5(s||'##')||... per shingle — each md5 is 32
+    hex chars = 4 disjoint slices, so ceil(perms/4) hashes instead of
+    ``perms`` (max 16 perms with this suffix family). Documents with
+    fewer than ``shingle_size`` tokens are dropped (no shingle exists;
+    both SQL dialects agree on this rule).
 
     Plan shape: explode shingles -> hash -> groupBy(id).agg(perms mins).
     The shuffle carries only (id, 8-char slices); map-side partial mins
     make it combiner-friendly at any corpus size.
     """
-    assert perms <= 16, "two md5s provide 16 disjoint 8-hex slices"
+    assert 1 <= perms <= 16, "4 md5s provide 16 disjoint 8-hex slices"
+    n_hashes = -(-perms // 4)   # each md5 hex digest = 4 slices of 8
     toks = F.split(F.col(text_col), " ")
     tk = (_spread(df).where(F.size(toks) >= shingle_size)
           .select(F.col(id_col).alias("id"),
@@ -99,7 +101,8 @@ def minhash_signatures(
           .select("id", F.explode("sh").alias("s")))
     hh = tk.select(
         "id", F.concat(F.md5(F.col("s")),
-                       F.md5(F.concat(F.col("s"), F.lit("#")))).alias("h"))
+                       *[F.md5(F.concat(F.col("s"), F.lit("#" * k)))
+                         for k in range(1, n_hashes)]).alias("h"))
     return hh.groupBy("id").agg(
         *[F.min(F.substring(F.col("h"), 1 + 8 * j, 8)).alias(f"m{j}")
           for j in range(perms)])
@@ -278,17 +281,27 @@ def simhash_near_dups(
     """(doc_a, doc_b, hamming) pairs with 64-bit simhash distance <=
     ``max_hamming``.
 
-    Blocking: the 64-bit signature splits into 4 chunks of 16 bits;
-    by pigeonhole any pair within Hamming distance 3 agrees on at least
-    one chunk, so candidates come from 4 equi-joins on (chunk_idx,
-    chunk_value) — never all-pairs — then verify with bit_count.
+    Blocking: the 64-bit signature splits into n_chunks equal slices,
+    where n_chunks is the smallest of 4/8/16/32/64 with
+    n_chunks >= max_hamming + 1 — by pigeonhole any pair within the
+    distance bound agrees on at least one chunk, so candidates come
+    from n_chunks equi-joins on (chunk_idx, chunk_value) — never
+    all-pairs — then verify with bit_count. (Deriving the chunk count
+    from max_hamming keeps the bound sound for every argument; a fixed
+    4x16 split silently loses pairs at max_hamming >= 4. More chunks =
+    shorter chunks = weaker blocking, so large distances cost more
+    candidates — the intrinsic simhash trade.)
     """
+    assert 0 <= max_hamming <= 63, "64-bit signature bounds the distance"
     sig = simhash64(df, id_col, text_col)
-    chunks = F.array(
-        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright("sim_lo", 16).bitwiseAND(F.lit(0xFFFF)),
-        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright("sim_hi", 16).bitwiseAND(F.lit(0xFFFF)))
+    n_chunks = next(c for c in (4, 8, 16, 32, 64) if c >= max_hamming + 1)
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    per_half = 32 // width
+    chunks = F.array(*[
+        F.shiftright(half, j * width).bitwiseAND(F.lit(mask))
+        for half in ("sim_lo", "sim_hi")
+        for j in range(per_half)])
     blocked = sig.select("doc_id", "sim_hi", "sim_lo",
                          F.posexplode(chunks).alias("c", "ck"))
     a, b = blocked.alias("a"), blocked.alias("b")
@@ -410,6 +423,7 @@ def ann_lsh_topk(
     k: int = 3,
     n_planes: int = 4,
     multiprobe: bool = True,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """(q_id, vec_id, cosine): top-k neighbors per query via LSH
     blocking — the scale path: NO cross join anywhere in the plan.
@@ -418,9 +432,21 @@ def ann_lsh_topk(
     one-bit-flip neighbor bucket, then candidates are scored exactly
     and ranked. Recall vs brute force is a function of n_planes ×
     multiprobe; the test suite pins it against the brute-force oracle.
+
+    ``bucket_cap`` guards the probe join the same way
+    :func:`embedding_near_dups` guards its self-join: one degenerate
+    corpus bucket (zero vectors, or too few planes for the corpus)
+    would otherwise be scanned by every probing query. Buckets above
+    the cap are dropped from the CANDIDATE side only — queries keep
+    probing their other buckets; an over-cap bucket is the signal to
+    raise ``n_planes``.
     """
     bb = embedding_lsh_buckets(df, id_col, emb_col, n_planes=n_planes)
     qs = bb.where(query_filter)
+    if bucket_cap is not None:
+        w_cap = Window.partitionBy("bucket")
+        bb = (bb.withColumn("__n", F.count(F.lit(1)).over(w_cap))
+              .where(F.col("__n") <= bucket_cap).drop("__n"))
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
@@ -496,7 +522,108 @@ def ann_ivf_topk(
             .where(F.col("rn") <= k).drop("rn"))
 
 
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution: pairs -> connected components -> keep-list
+# ---------------------------------------------------------------------------
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014): every node links each strictly
+    larger neighbor to the minimum of its closed neighborhood. Edges in
+    and out hold the (u > v) orientation invariant."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m")))
+    return (sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node links its smaller neighbors (and
+    itself) to the minimum of that set. Input/output oriented u > v."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (e.join(mins, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    self_edge = mins.select("u", F.col("m").alias("v"))
+    return (relink.unionByName(self_edge)
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def dedup_components(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iters: int = 32,
+) -> DataFrame:
+    """(doc_id, component_id, is_canonical): connected components over a
+    near-duplicate pair frame, with one canonical keeper per cluster —
+    the last stage of a production dedup (CCNet/DataComp-style): LSH
+    emits pairs, this turns pairs into a keep-list.
+
+    Algorithm: alternating large-star/small-star joins (Kiveris et al.
+    2014) — converges in O(log N) rounds, every round is two shuffles
+    on node id, and NO driver state beyond the O(1) convergence probe.
+    component_id = min doc id of the component; is_canonical marks the
+    row to keep (1) vs drop (0), as BIGINT so both SQL dialects hash
+    identically.
+
+    ``ids`` (optional, one ``id_col`` column) adds singleton documents —
+    docs in no pair — as their own canonical component, so the output is
+    a total keep-list over the corpus, not just over paired docs.
+
+    Each iteration localCheckpoints the edge frame: iterative self-joins
+    otherwise double the lineage every round (exponential plan-analysis
+    cost). On a cluster, point ``spark.sparkContext.setCheckpointDir``
+    at durable storage and swap for ``checkpoint`` if executor loss
+    during the (short) iteration window matters.
+    """
+    e = (pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # converged when the edge multiset is unchanged: equal counts
+        # plus an empty one-sided difference (both frames are distinct)
+        n_prev, n_next = e.count(), nxt.count()
+        changed = (n_prev != n_next
+                   or nxt.exceptAll(e).limit(1).count() > 0)
+        e = nxt
+        if not changed:
+            break
+    # at convergence every component is a star rooted at its min id
+    members = e.select(F.col("u").alias(id_col),
+                       F.col("v").alias("component_id"))
+    roots = e.select(F.col("v").alias(id_col),
+                     F.col("v").alias("component_id")).distinct()
+    comp = (members.unionByName(roots)
+            .groupBy(id_col).agg(F.min("component_id").alias("component_id")))
+    if ids is not None:
+        universe = ids.select(F.col(id_col).cast("long").alias(id_col))
+        comp = (universe.join(comp, id_col, "left")
+                .select(id_col,
+                        F.coalesce(F.col("component_id"), F.col(id_col))
+                        .alias("component_id")))
+    return comp.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col("component_id").cast("long").alias("component_id"),
+        F.when(F.col(id_col) == F.col("component_id"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("is_canonical"))
+
+
 __all__ = ["minhash_signatures", "minhash_band_keys", "minhash_lsh_pairs",
            "jaccard_verify", "simhash16", "simhash64", "simhash_near_dups",
            "quantize_embedding", "embedding_lsh_buckets",
-           "embedding_near_dups", "ann_lsh_topk", "ann_ivf_topk"]
+           "embedding_near_dups", "ann_lsh_topk", "ann_ivf_topk",
+           "dedup_components"]

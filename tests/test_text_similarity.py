@@ -254,3 +254,106 @@ def test_embedding_bucket_cap(spark):
     assert embedding_near_dups(df, bucket_cap=None).count() == 190  # 20C2
     assert embedding_near_dups(df, bucket_cap=10).count() == 0
     assert embedding_near_dups(df, bucket_cap=20).count() == 190
+
+
+def test_minhash_perms_beyond_8(spark, docs):
+    """perms 9..16 draw slices from md5(s||'##')/md5(s||'###') — every
+    permutation must be a real (distinct, non-empty) hash slice. The
+    round-2 guard allowed perms<=16 with only two md5s, so m8..m15 were
+    '' for every doc and every band built from them collided corpus-wide."""
+    from siren_spark.functions.similarity import minhash_signatures
+
+    sig = {r.id: tuple(r)[1:] for r in
+           minhash_signatures(docs, perms=12).collect()}
+    assert all(all(len(v) == 8 for v in s) for s in sig.values())
+    assert sig[0] == sig[1] and sig[0] != sig[3]
+    # bands over the high permutations must not collide unrelated docs
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(
+        docs, perms=12, bands=6, band_cap=None).collect()}
+    assert (0, 1) in pairs and all(3 not in p for p in pairs)
+
+
+def test_simhash_near_dups_wide_hamming(spark):
+    """The chunk count now derives from max_hamming (pigeonhole needs
+    >= max_hamming+1 chunks): distances 4..7 use 8x8-bit blocking. A
+    fixed 4x16 split can lose such pairs; verify against brute force."""
+    base = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"
+    rows = [
+        (0, base),
+        (1, base.replace("gg", "zz6")),   # measured simhash distance 4
+        (2, base.replace("aa", "zz0")),   # measured simhash distance 6
+        (3, "11 22 33 44 55 66 77 88 99 00 q1 q2 q3 q4 q5 q6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: (r.sim_hi, r.sim_lo) for r in simhash64(df).collect()}
+
+    def ham(a, b):
+        return (bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1"))
+
+    brute = {(a, b): ham(sigs[a], sigs[b])
+             for a in sigs for b in sigs if a < b}
+    assert any(4 <= d <= 7 for d in brute.values())   # fixture is on point
+    for mh in (3, 7, 11):
+        got = {(r.doc_a, r.doc_b): r.hamming
+               for r in simhash_near_dups(df, max_hamming=mh).collect()}
+        want = {p: d for p, d in brute.items() if d <= mh}
+        assert got == want, (mh, got, want)
+    with pytest.raises(AssertionError):
+        simhash_near_dups(df, max_hamming=64)
+
+
+def test_ann_lsh_topk_bucket_cap(spark):
+    """The corpus side of the probe join is capped like
+    embedding_near_dups: a degenerate bucket never becomes every
+    query's scan. Queries themselves keep probing."""
+    # 30 near-identical vectors (one hot bucket) + 3 spread vectors
+    rows = ([(i, [1.0 + i * 1e-6] * 8) for i in range(30)]
+            + [(100, [-1.0, 2.0, -3.0, 4.0, -5.0, 6.0, -7.0, 8.0]),
+               (101, [-1.0, 2.0, -3.0, 4.0, -5.0, 6.0, -7.0, 8.1]),
+               (102, [5.0, -4.0, 3.0, -2.0, 1.0, -1.0, 2.0, -3.0])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = ann_lsh_topk(df, query_filter=F.col("vec_id") == 0,
+                            k=3, bucket_cap=None).count()
+    assert uncapped == 3
+    capped = ann_lsh_topk(df, query_filter=F.col("vec_id") == 0,
+                          k=3, bucket_cap=10)
+    # the 30-vector bucket is dropped from the candidate side; the query
+    # still probes its flip-neighbor buckets (may or may not hit 100-102)
+    got = {r.vec_id for r in capped.collect()}
+    assert all(v >= 100 for v in got)
+
+
+def test_dedup_components_vs_union_find(spark):
+    """Keep-list == brute-force union-find, including a path graph
+    (forces multiple large/small-star rounds) and singletons via ids."""
+    from siren_spark.functions.similarity import dedup_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),     # path: one component
+             (10, 11), (11, 10),                  # dup edges, one comp
+             (20, 21), (22, 21),                  # star at 21
+             (7, 7)]                              # self-loop: ignored
+    ids = list(range(1, 6)) + [7, 10, 11, 20, 21, 22, 30, 31]  # 30,31 single
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: (r.component_id, r.is_canonical)
+           for r in dedup_components(pdf, ids=idf).collect()}
+    assert got == {i: (want[i], 1 if want[i] == i else 0) for i in ids}
+    # without ids: only genuinely paired docs appear (a self-loop-only
+    # doc like 7 is a singleton, same as 30/31)
+    got2 = {r.doc_id for r in dedup_components(pdf).collect()}
+    assert got2 == set(ids) - {7, 30, 31}
