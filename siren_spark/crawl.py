@@ -76,8 +76,11 @@ class CrawlConfig:
     # robots gate delivery: 'broadcast' collects the rules table to the
     # driver and broadcasts a compiled matcher (fine for ~10^3 domains);
     # 'cogroup' ships each task exactly its domains' rule rows — the
-    # million-domain path, no driver copy (operators/robots.py).
-    robots_probe: str = "broadcast"
+    # million-domain path, no driver copy (operators/robots.py); 'auto'
+    # (default, mirroring bloom_probe) broadcasts small tables and
+    # switches to cogroup above robots_broadcast_max rows, so a user who
+    # never reads this flag cannot hit a driver OOM at scale.
+    robots_probe: str = "auto"
     # 'broadcast': driver-held filter broadcast whole (fast while total
     #   bitmap is tens of MB); 'bucketed': filter lives as a (bucket,
     #   bitmap) checkpoint table, probe cogroups frontier with bitmaps so
@@ -88,6 +91,14 @@ class CrawlConfig:
     # compact the seen-set sources once more than this many tables back
     # it (keeps every round's seen read at O(1) inputs, not O(rounds))
     seen_compact_every: int = 8
+    # headline-dedup (A3) scope: 'run' carries a (source, title) done-set
+    # across rounds — the reference semantic, where the done-set spans the
+    # whole scrape() (ht.py:261-268); 'round' dedups within a round only.
+    headline_dedup_scope: str = "run"
+    # robots rules delivery threshold for robots_probe='auto': collect+
+    # broadcast up to this many rule rows, cogroup above it (a
+    # million-domain rules table must never be collected to the driver)
+    robots_broadcast_max: int = 100_000
 
     def bloom_bucketed(self) -> bool:
         if self.bloom_probe == "bucketed":
@@ -291,7 +302,11 @@ def _annotate_round(
                      F.spark_partition_id().alias("partition_id"))
 
 
-def _apply_result_filters(records: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def _apply_result_filters(
+    records: DataFrame,
+    cfg: CrawlConfig,
+    hl_seen: DataFrame | None = None,
+) -> DataFrame:
     out = records
     if cfg.window_start is not None and cfg.window_end is not None:
         in_window = (
@@ -312,16 +327,23 @@ def _apply_result_filters(records: DataFrame, cfg: CrawlConfig) -> DataFrame:
         )
         out = out.filter(
             (~F.col("source").isin(*KEYWORD_FILTERED_SOURCES)) | has_kw)
-    # A3: per-source post-extraction headline dedup (HT). One window
-    # over (source, title) within the round; rows of non-dedup sources
-    # pass regardless of rank. In the reference all HT editions resolve
-    # inside one scrape() call, which maps to one engine round here.
+    # A3: per-source post-extraction headline dedup (HT). Split-union so
+    # ONLY dedup-source rows pay the (source, title) window shuffle —
+    # mirror/toi/nm records stream through untouched (at 100x scale the
+    # whole-round window was the largest avoidable shuffle in the
+    # results path). ``hl_seen`` (scope='run') is the cross-round
+    # done-set: titles already emitted by an earlier round anti-join out,
+    # matching the reference's scrape()-spanning set (ht.py:261-268).
+    is_dedup_src = F.col("source").isin(*HEADLINE_DEDUP_SOURCES)
+    rest = out.filter(~is_dedup_src)
+    dd = out.filter(is_dedup_src)
     w_hl = Window.partitionBy("source", "title").orderBy(F.asc("url"))
-    out = (out.withColumn("__rn_hl", F.row_number().over(w_hl))
-           .filter((~F.col("source").isin(*HEADLINE_DEDUP_SOURCES))
-                   | (F.col("__rn_hl") == 1))
-           .drop("__rn_hl"))
-    return out
+    dd = (dd.withColumn("__rn_hl", F.row_number().over(w_hl))
+          .filter(F.col("__rn_hl") == 1)
+          .drop("__rn_hl"))
+    if hl_seen is not None:
+        dd = dd.join(hl_seen, ["source", "title"], "left_anti")
+    return rest.unionByName(dd)
 
 
 @dataclass
@@ -370,9 +392,82 @@ def _seen_sources_at(store: CheckpointStore, gen: int) -> list[dict]:
              "kind": "ann"} for g in range(gen + 1)]
 
 
+def _hl_seen_df(spark: SparkSession, sources: list[dict]) -> DataFrame | None:
+    """The cross-round headline done-set (source, title) from an
+    incremental source list: 'res' entries are per-round results tables
+    (filtered to the headline-dedup sources), 'compact' entries are
+    (source, title)-only compaction tables — the same O(1)-tables-per-
+    round scheme as the URL seen set."""
+    res = [s["path"] for s in sources if s["kind"] == "res"]
+    comp = [s["path"] for s in sources if s["kind"] == "compact"]
+    parts = []
+    if comp:
+        parts.append(spark.read.parquet(*comp).select("source", "title"))
+    if res:
+        parts.append(spark.read.parquet(*res)
+                     .filter(F.col("source").isin(*HEADLINE_DEDUP_SOURCES))
+                     .select("source", "title"))
+    if not parts:
+        return None
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _hl_sources_at(store: CheckpointStore, gen: int) -> list[dict]:
+    """Headline done-set sources in round ``gen``'s manifest (fallback
+    for checkpoints committed before this field existed: every
+    committed round's results table)."""
+    stats = store.manifest(gen)["stats"]
+    if "hl_seen_sources" in stats:
+        return stats["hl_seen_sources"]
+    out = []
+    for g in range(gen + 1):
+        tables = store.manifest(g)["tables"]
+        if "results" in tables:
+            out.append({"path": tables["results"], "kind": "res"})
+    return out
+
+
 # status -> user-facing counter metric (oracle.py semantics)
 _METRIC_OF_STATUS = {"blocked": "robots_blocked", "deduped": "deduped",
                      "scheduled": "fetched", "deferred": "deferred"}
+
+
+def _counters_with_fallback(spark: SparkSession,
+                            store: CheckpointStore) -> DataFrame | None:
+    """All rounds' counters, synthesizing rows from manifest stats for
+    generations committed before the staged counters table existed
+    (mirroring _seen_sources_at's backward-compat fallback — resuming an
+    old checkpoint must not silently drop those rounds' counters).
+    Legacy rows carry domain=NULL: the old format kept whole-round
+    rollups only."""
+    last = store.latest_gen()
+    if last is None:
+        return None
+    paths: list[str] = []
+    legacy_rows: list[tuple] = []
+    for g in range(last + 1):
+        m = store.manifest(g)
+        if "counters" in m["tables"]:
+            paths.append(m["tables"]["counters"])
+        else:
+            for status, n in (m["stats"].get("by_status") or {}).items():
+                legacy_rows.append(
+                    (g, None, _METRIC_OF_STATUS.get(status, status), int(n)))
+    parts = []
+    if paths:
+        parts.append(spark.read.parquet(*paths))
+    if legacy_rows:
+        parts.append(spark.createDataFrame(
+            legacy_rows, "gen int, domain string, metric string, n long"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _round_counters(ann_r: DataFrame, ex: DataFrame, gen: int,
@@ -444,7 +539,14 @@ def run_crawl(
     matcher = None
     robots_df = None
     if robots is not None:
-        if cfg.robots_probe == "cogroup":
+        probe = cfg.robots_probe
+        if probe == "auto":
+            # never collect a huge rules table: probe the size with a
+            # LIMIT'd count (O(threshold) scan, no driver materialization)
+            over = (robots.limit(cfg.robots_broadcast_max + 1).count()
+                    > cfg.robots_broadcast_max)
+            probe = "cogroup" if over else "broadcast"
+        if probe == "cogroup":
             robots_df = robots
         else:
             matcher = RobotsMatcher(
@@ -466,11 +568,14 @@ def run_crawl(
                                     buckets=cfg.bloom_buckets)
 
     seen_sources: list[dict] = []
+    hl_sources: list[dict] = []
     if resume and (last := store.latest_gen()) is not None:
         start_gen = last + 1
         frontier = store.read(spark, last, "frontier")
         seen_sources = _seen_sources_at(store, last)
         seen_exact = _seen_df(spark, seen_sources)
+        if cfg.headline_dedup_scope == "run":
+            hl_sources = _hl_sources_at(store, last)
         if cfg.use_bloom and seen_exact is not None:
             if bucketed:
                 bloom_path = store.manifest(last)["stats"].get("bloom_table")
@@ -538,10 +643,13 @@ def run_crawl(
 
         # ---- cheap derivations from the two committed tables ------------
         t2 = time.time()
+        hl_seen = (_hl_seen_df(spark, hl_sources)
+                   if cfg.headline_dedup_scope == "run" else None)
         results_round = _apply_result_filters(
             ex.filter(F.col("kind") == "record").drop("kind", "meta")
               .withColumn("gen", F.lit(gen)),
             cfg,
+            hl_seen=hl_seen,
         ).select(*RESULT_COLS)
 
         links = (
@@ -558,12 +666,13 @@ def run_crawl(
             ann_r.filter(F.col("status") == "deferred").select(*FRONTIER_COLS))
 
         cnt_caches: list = []
+        staged_paths: dict[str, str] = {}
         for name, df in (("frontier", next_frontier),
                          ("results", results_round),
                          ("counters", _round_counters(ann_r, ex, gen,
                                                       cnt_caches))):
             tw = time.time()
-            store.stage_table(gen, name, df)
+            staged_paths[name] = store.stage_table(gen, name, df)
             _log(f"gen {gen}   write {name} {time.time()-tw:.1f}s")
         for c in cnt_caches:
             c.unpersist()
@@ -583,10 +692,21 @@ def run_crawl(
             staged_tables.append("seen_compact")
             _log(f"gen {gen}   seen-compact {time.time()-tw:.1f}s")
 
+        if cfg.headline_dedup_scope == "run":
+            hl_sources = hl_sources + [{"path": staged_paths["results"],
+                                        "kind": "res"}]
+            if len(hl_sources) > cfg.seen_compact_every:
+                hl_path = store.stage_table(
+                    gen, "hl_compact", _hl_seen_df(spark, hl_sources))
+                hl_sources = [{"path": hl_path, "kind": "compact"}]
+                staged_tables.append("hl_compact")
+
         stats: dict = {
             "by_status": {k: int(v) for k, v in n_by_status.items()},
             "seen_sources": seen_sources,
         }
+        if cfg.headline_dedup_scope == "run":
+            stats["hl_seen_sources"] = hl_sources
         if bucketed:
             # bucketed filter state: OR the round's delta partials into
             # the running bitmap table, fully distributed — the driver
@@ -641,7 +761,7 @@ def run_crawl(
     return CrawlResult(
         rounds=(last + 1 if last is not None else 0),
         results=store.read_all(spark, "results"),
-        counters=store.read_all(spark, "counters"),
+        counters=_counters_with_fallback(spark, store),
         seen=(_seen_df(spark, _seen_sources_at(store, last))
               if last is not None else None),
         round_secs=round_secs,

@@ -46,7 +46,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "given (reference __main__.py:70-77 semantics)")
     p.add_argument("--start", default=None)
     p.add_argument("--end", default=None)
-    p.add_argument("--budget", type=int, default=50)  # config.toml:10
+    # default applied in resolve_config so an explicit "--budget 50" and
+    # an absent flag are distinguishable (TOML max_concurrency must not
+    # silently override an explicit CLI value on the no-config path)
+    p.add_argument("--budget", type=int, default=None)  # config.toml:10
     p.add_argument("--max-rounds", type=int, default=30)
     p.add_argument("--salt-buckets", type=int, default=64)
     p.add_argument("--bloom-bits", type=int, default=1 << 20)
@@ -56,10 +59,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    choices=["auto", "broadcast", "bucketed"],
                    help="bucketed = per-task one-bucket bitmap cogroup "
                         "(the 10^10 path); auto switches above 64 MB")
-    p.add_argument("--robots-probe", default="broadcast",
-                   choices=["broadcast", "cogroup"],
+    p.add_argument("--robots-probe", default="auto",
+                   choices=["auto", "broadcast", "cogroup"],
                    help="cogroup = per-domain rules shipped by shuffle "
-                        "(million-domain robots tables)")
+                        "(million-domain robots tables); auto switches "
+                        "above --robots-broadcast-max rows")
+    p.add_argument("--robots-broadcast-max", type=int, default=100_000)
+    p.add_argument("--headline-dedup-scope", default="run",
+                   choices=["run", "round"],
+                   help="'run' carries the (source, title) done-set "
+                        "across rounds (reference scrape() semantics)")
     p.add_argument("--seen-compact-every", type=int, default=8)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--verbose", action="store_true")
@@ -70,7 +79,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 def resolve_config(args: argparse.Namespace) -> argparse.Namespace:
     """Apply the reference's config/date-window resolution rules.
 
-    TOML fields (config.toml:1-16 names) fill unset flags; the date
+    With ``--config``, the scrape config comes from the TOML alone
+    (reference __main__.py:58-66: ``Config(**toml)`` replaces the
+    CLI-built config — CLI keyword/window/budget flags are NOT merged)
+    and the date-window defaulting is skipped entirely. Without it, the
     window defaults follow __main__.py:70-77 exactly: neither given ->
     [now, now+days]; only start -> end = start+days; only end ->
     start = end-days.
@@ -78,18 +90,15 @@ def resolve_config(args: argparse.Namespace) -> argparse.Namespace:
     if args.config:
         with open(args.config, "rb") as f:
             cfg = tomllib.load(f)
-        if not args.keywords:
-            args.keywords = list(cfg.get("keywords", []))
-        if not args.ignore_keywords:
-            args.ignore_keywords = list(cfg.get("ignore_keywords", []))
-        if args.scraper is None:
-            args.scraper = cfg.get("scraper")
-        if args.start is None and "start" in cfg:
-            args.start = str(cfg["start"])[:10]
-        if args.end is None and "end" in cfg:
-            args.end = str(cfg["end"])[:10]
-        if "max_concurrency" in cfg and args.budget == 50:
-            args.budget = int(cfg["max_concurrency"])
+        args.keywords = list(cfg.get("keywords", []))
+        args.ignore_keywords = list(cfg.get("ignore_keywords", []))
+        args.scraper = cfg.get("scraper")
+        args.start = str(cfg["start"])[:10] if "start" in cfg else None
+        args.end = str(cfg["end"])[:10] if "end" in cfg else None
+        args.budget = int(cfg.get("max_concurrency", 50))
+        return args
+    if args.budget is None:
+        args.budget = 50
     if not args.start and not args.end:
         args.start = datetime.now().strftime("%Y-%m-%d")
         args.end = (datetime.now()
@@ -130,6 +139,8 @@ def main(argv: list[str] | None = None) -> None:
         bloom_buckets=args.bloom_buckets,
         bloom_probe=args.bloom_probe,
         robots_probe=args.robots_probe,
+        robots_broadcast_max=args.robots_broadcast_max,
+        headline_dedup_scope=args.headline_dedup_scope,
         seen_compact_every=args.seen_compact_every,
         window_start=datetime.fromisoformat(args.start) if args.start else None,
         window_end=datetime.fromisoformat(args.end) if args.end else None,

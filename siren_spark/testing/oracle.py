@@ -55,6 +55,9 @@ def simulate_crawl(
     date_filtered = {"mirror", "tg_online", "newsminute"}
     kw_filtered = {"tg_epaper"}
     headline_dedup = {"ht"}   # A3: ht.py:261-268 (key incl. ' - no data -')
+    # the reference done-set spans the whole scrape(), i.e. every round
+    # of the run — a headline emitted once is never emitted again
+    done_headlines: set[tuple] = set()
 
     for gen in range(max_rounds):
         if not frontier:
@@ -143,18 +146,23 @@ def simulate_crawl(
                 r["gen"] = gen
                 round_records.append(r)
 
-        # A3: per-round headline dedup for sources that key on headline
-        # (engine: window over (source, title), winner = min url)
+        # A3: headline dedup for sources that key on headline — winner =
+        # min url within the round (engine: window over (source, title)),
+        # and a title emitted by ANY earlier round never re-emits
+        # (engine: anti-join against the carried done-set).
         best_by_headline: dict[tuple, dict] = {}
         for r in round_records:
             if r["source"] in headline_dedup:
                 k = (r["source"], r["title"])
+                if k in done_headlines:
+                    continue
                 cur = best_by_headline.get(k)
                 if cur is None or r["url"] < cur["url"]:
                     best_by_headline[k] = r
             else:
                 res.results.append(r)
         res.results.extend(best_by_headline.values())
+        done_headlines.update(best_by_headline)
 
         frontier = deferred + new_links
         for m, n in cnt.items():

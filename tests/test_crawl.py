@@ -247,3 +247,144 @@ def test_scale_paths_combined_equal_defaults(spark, site, tmp_path):
         outs.append(sorted(_result_key(r.asDict())
                            for r in res.results.collect()))
     assert outs[0] == outs[1]
+
+
+def test_headline_dedup_spans_rounds(spark, tmp_path):
+    """A3 cross-round scope: the reference's done-set spans the whole
+    scrape() (ht.py:261-268). HT-only crawl with a budget small enough
+    that the duplicated-headline detail pages are fetched in DIFFERENT
+    rounds: scope='run' emits one record per title for the whole run
+    and matches the oracle simulator; scope='round' (the pre-round-3
+    semantic) re-emits the title in the later round."""
+    site = build_site(SPEC)
+    ht_seeds = [s for s in site.seeds if s["source"] == "ht"]
+    outs = {}
+    for scope in ("run", "round"):
+        cfg = CrawlConfig(budget_per_host=3, window_start=WINDOW_START,
+                          window_end=WINDOW_END, keywords=SPEC.keywords,
+                          use_bloom=False, salt_buckets=2,
+                          headline_dedup_scope=scope)
+        res = run_crawl(spark, pages_df(spark, site.pages),
+                        seeds_df(spark, ht_seeds), cfg,
+                        str(tmp_path / f"ck_{scope}"))
+        outs[scope] = [r.asDict() for r in res.results.collect()]
+    run_titles = [r["title"] for r in outs["run"]]
+    assert len(run_titles) == len(set(run_titles))
+    # the fixture actually exercises the cross-round case: round-scope
+    # re-emits at least one title in a later gen
+    assert len(outs["round"]) > len(outs["run"])
+    by_title: dict[str, set] = {}
+    for r in outs["round"]:
+        by_title.setdefault(r["title"], set()).add(r["gen"])
+    assert any(len(g) > 1 for g in by_title.values())
+    # and the run-scope engine matches the oracle simulator exactly
+    sim2 = simulate_crawl(site.pages, ht_seeds, budget_per_host=3,
+                          window_start=WINDOW_START, window_end=WINDOW_END,
+                          keywords=SPEC.keywords)
+    got = sorted(_result_key(r) for r in outs["run"])
+    exp = sorted(_result_key(r) for r in sim2.results)
+    assert got == exp
+
+
+def test_headline_dedup_cross_round_survives_resume(spark, tmp_path):
+    """The (source, title) done-set is checkpoint state: a run killed
+    mid-crawl and resumed must not re-emit titles from committed rounds."""
+    site = build_site(SPEC)
+    ht_seeds = [s for s in site.seeds if s["source"] == "ht"]
+    cfg = CrawlConfig(budget_per_host=3, window_start=WINDOW_START,
+                      window_end=WINDOW_END, keywords=SPEC.keywords,
+                      use_bloom=False, salt_buckets=2)
+    ckpt = str(tmp_path / "ck_resume")
+    with pytest.raises(RuntimeError):
+        run_crawl(spark, pages_df(spark, site.pages),
+                  seeds_df(spark, ht_seeds), cfg, ckpt, fail_after_round=1)
+    res = run_crawl(spark, pages_df(spark, site.pages),
+                    seeds_df(spark, ht_seeds), cfg, ckpt, resume=True)
+    titles = [r.title for r in res.results.collect()]
+    assert len(titles) == len(set(titles))
+
+
+def test_a3_window_scoped_to_dedup_sources(spark):
+    """The (source, title) dedup window only ever receives rows of the
+    headline-dedup sources: the source filter sits BELOW the window in
+    the optimized plan, so mirror/toi/nm records never pay that shuffle
+    (round-2 'What's wrong' #1 — the largest avoidable shuffle in the
+    results path)."""
+    from siren_spark.crawl import _apply_result_filters
+
+    recs = spark.createDataFrame(
+        [("mirror", "u1", "t1", None, None, None, "x", None, 0),
+         ("ht", "u2", "t1", None, None, None, "y", None, 0)],
+        "source string, url string, title string, author string, "
+        "location string, published timestamp, text string, extra string, "
+        "gen int")
+    out = _apply_result_filters(recs, CrawlConfig())
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    win = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert win, plan
+    # the window's subtree (deeper-indented lines below it) must contain
+    # the dedup-source filter before indentation returns to window level
+    depth = len(lines[win[0]]) - len(lines[win[0]].lstrip(" :+-"))
+    sub = []
+    for ln in lines[win[0] + 1:]:
+        if len(ln) - len(ln.lstrip(" :+-")) <= depth:
+            break
+        sub.append(ln)
+    assert any("ht" in ln and "Filter" in ln for ln in sub), plan
+
+
+def test_counters_fallback_for_legacy_checkpoints(spark, tmp_path):
+    """Rounds committed before the staged counters table existed get
+    their counters synthesized from manifest by_status stats (the same
+    backward-compat contract seen_sources already has)."""
+    import json
+
+    from siren_spark.crawl import _counters_with_fallback
+    from siren_spark.operators.checkpoint import CheckpointStore
+
+    site = build_site(SPEC)
+    cfg = CrawlConfig(budget_per_host=BUDGET, window_start=WINDOW_START,
+                      window_end=WINDOW_END, keywords=SPEC.keywords,
+                      use_bloom=False, max_rounds=2)
+    ckpt = str(tmp_path / "ck_legacy")
+    run_crawl(spark, pages_df(spark, site.pages),
+              seeds_df(spark, site.seeds), cfg, ckpt)
+    store = CheckpointStore(ckpt)
+    # doctor round 0 into the legacy format: no counters table
+    mp = store._manifest_path(0)
+    m = json.load(open(mp))
+    del m["tables"]["counters"]
+    json.dump(m, open(mp, "w"))
+    out = _counters_with_fallback(spark, store)
+    rows = out.collect()
+    g0 = {r.metric: r.n for r in rows if r.gen == 0}
+    assert g0.get("fetched") == m["stats"]["by_status"]["scheduled"]
+    assert all(r.domain is None for r in rows if r.gen == 0)
+    assert any(r.gen == 1 and r.domain is not None for r in rows)
+
+
+def test_robots_auto_switches_to_cogroup(spark, site, tmp_path, monkeypatch):
+    """robots_probe='auto' must not collect a rules table above the
+    broadcast threshold: RobotsMatcher (the broadcast path) is never
+    constructed; the cogroup gate produces the same blocked set."""
+    import siren_spark.crawl as crawl_mod
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast matcher built for a large table")
+
+    monkeypatch.setattr(crawl_mod, "RobotsMatcher", boom)
+    robots = spark.createDataFrame(
+        [("mirror-city.example", "User-agent: *\nDisallow: /\n"),
+         ("a.example", ""), ("b.example", ""), ("c.example", "")],
+        "domain string, rules string")
+    cfg = CrawlConfig(budget_per_host=BUDGET, window_start=WINDOW_START,
+                      window_end=WINDOW_END, keywords=SPEC.keywords,
+                      use_bloom=False, max_rounds=2,
+                      robots_broadcast_max=2)   # 4 rows > 2 -> cogroup
+    res = run_crawl(spark, pages_df(spark, site.pages),
+                    seeds_df(spark, site.seeds), cfg,
+                    str(tmp_path / "ck_auto"), robots=robots)
+    blocked = res.counters.filter(
+        (F.col("metric") == "robots_blocked") & (F.col("n") > 0)).collect()
+    assert blocked and all(r.domain == "mirror-city.example" for r in blocked)

@@ -139,10 +139,16 @@ def test_cli_config_and_date_window_resolution(tmp_path):
     assert a.ignore_keywords == ["bomb"]          # parsed, unused (P5)
     assert (a.start, a.end) == ("2022-10-01", "2022-12-31")
     assert a.budget == 7
-    # CLI flags win over the TOML
+    # reference semantics: --config wins wholesale (Config is built from
+    # the TOML alone, __main__.py:58-66 — CLI scrape flags are not merged)
     a = parse_args([*base, "--config", str(cfgp), "--keywords", "flood",
                     "--budget", "9"])
-    assert a.keywords == ["flood"] and a.budget == 9
+    assert a.keywords == ["crisis", "rescue"] and a.budget == 7
+    # and the date-window defaulting is skipped when the TOML has no window
+    cfg2 = tmp_path / "c2.toml"
+    cfg2.write_text('keywords = ["x"]\n')
+    a = parse_args([*base, "--config", str(cfg2), "--start", "2022-10-01"])
+    assert a.start is None and a.end is None and a.budget == 50
 
 
 def test_stateful_politeness_throttle_across_batches(spark, tmp_path):
