@@ -91,6 +91,10 @@ class CrawlConfig:
     # compact the seen-set sources once more than this many tables back
     # it (keeps every round's seen read at O(1) inputs, not O(rounds))
     seen_compact_every: int = 8
+    # enrich results with a detected-language column (trigram-profile
+    # classifier, functions/langid.py) — the production-shaped LLM-data
+    # path; off by default to keep the reference result schema exact
+    lang_detect: bool = False
     # headline-dedup (A3) scope: 'run' carries a (source, title) done-set
     # across rounds — the reference semantic, where the done-set spans the
     # whole scrape() (ht.py:261-268); 'round' dedups within a round only.
@@ -651,6 +655,10 @@ def run_crawl(
             cfg,
             hl_seen=hl_seen,
         ).select(*RESULT_COLS)
+        if cfg.lang_detect:
+            from siren_spark.functions.langid import langid_udf
+            results_round = results_round.withColumn(
+                "lang", langid_udf()(F.col("text")))
 
         links = (
             ex.filter(F.col("kind") == "link")

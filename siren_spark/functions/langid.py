@@ -100,12 +100,56 @@ def langid_udf() -> Column:
 
     The profile snapshot at creation time ships inside the UDF closure,
     so registered profiles reach every worker without a broadcast call
-    (profiles are a few KB)."""
+    (profiles are a few KB).
+
+    Scoring is vectorized: all K profiles flatten into one
+    (n_trigrams x K) rank matrix at UDF-build time, and per document the
+    out-of-place distances to every language are one numpy
+    gather-subtract-sum over the document's known trigrams (identical
+    result to :func:`classify`, which stays as the reference
+    implementation; the tests assert equality). Unknown trigrams add a
+    constant penalty across languages, so they cannot change the argmin
+    and are skipped."""
+    import numpy as np
+
     profiles = dict(_PROFILES)
+    langs = sorted(profiles)
+    gram_index: dict[str, int] = {}
+    for lang in langs:
+        for g in profiles[lang]:
+            gram_index.setdefault(g, len(gram_index))
+    # -1 = trigram absent from that profile: classify() adds the FLAT
+    # _PROFILE_TOP penalty there (not |TOP - r|), so absence needs a
+    # sentinel, not a rank
+    rank_matrix = np.full((len(gram_index), len(langs)), -1, dtype=np.int32)
+    for k, lang in enumerate(langs):
+        for g, r in profiles[lang].items():
+            rank_matrix[gram_index[g], k] = r
 
     @F.pandas_udf("string")
     def _langid(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: classify(t, profiles))
+        def one(t):
+            if t is None or len(t) < 12:   # classify's min_chars default
+                return "und"
+            doc = _rank_profile(t)
+            idx = []
+            ranks = []
+            for g, r in doc.items():
+                i = gram_index.get(g)
+                if i is not None:
+                    idx.append(i)
+                    ranks.append(r)
+            if not idx:
+                # all trigrams unknown: every distance is the same
+                # constant, classify picks the first language in sorted
+                # order (strict-< update) — argmin of equal dists agrees
+                return langs[0]
+            sub = rank_matrix[np.asarray(idx)]
+            r = np.asarray(ranks, dtype=np.int32)[:, None]
+            d = np.where(sub >= 0, np.abs(sub - r), _PROFILE_TOP)
+            return langs[int(d.sum(axis=0).argmin())]
+
+        return texts.map(one)
 
     return _langid
 

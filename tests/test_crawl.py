@@ -388,3 +388,19 @@ def test_robots_auto_switches_to_cogroup(spark, site, tmp_path, monkeypatch):
     blocked = res.counters.filter(
         (F.col("metric") == "robots_blocked") & (F.col("n") > 0)).collect()
     assert blocked and all(r.domain == "mirror-city.example" for r in blocked)
+
+
+def test_crawl_lang_detect_column(spark, site, tmp_path):
+    """lang_detect=True enriches results with the trigram-profile
+    classifier's verdict — column-for-column what classify() returns on
+    the same text (the production LLM-data path wired into the engine)."""
+    from siren_spark.functions.langid import classify
+
+    cfg = CrawlConfig(budget_per_host=BUDGET, window_start=WINDOW_START,
+                      window_end=WINDOW_END, keywords=SPEC.keywords,
+                      use_bloom=False, max_rounds=2, lang_detect=True)
+    res = run_crawl(spark, pages_df(spark, site.pages),
+                    seeds_df(spark, site.seeds), cfg,
+                    str(tmp_path / "ck_lang"))
+    rows = res.results.select("text", "lang").collect()
+    assert rows and all(r.lang == classify(r.text) for r in rows)

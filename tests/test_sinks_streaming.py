@@ -198,3 +198,58 @@ def test_stateful_politeness_throttle_across_batches(spark, tmp_path):
         "https://hot.example/5", "https://hot.example/6"}
     assert {u for u in admitted if "cold" in u} == {
         "https://cold.example/0", "https://cold.example/1"}
+
+
+def test_politeness_throttle_epoch_rollover(spark, tmp_path):
+    """Per-EPOCH streaming budget (the batch engine's per-round semantic):
+    the domain counter resets when a new epoch arrives, carries within an
+    epoch across micro-batches, and late rows of a closed epoch defer."""
+    import time
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from siren_spark.streaming.politeness_state import run_throttle_query
+
+    schema = StructType([
+        StructField("domain", StringType()),
+        StructField("url_canon", StringType()),
+        StructField("priority", DoubleType()),
+        StructField("epoch", LongType()),
+    ])
+    src = str(tmp_path / "esrc")
+    out, ck = str(tmp_path / "eout"), str(tmp_path / "eck")
+    links = None
+    batches = [
+        # epoch 0: three rows, budget 2 -> a,b admitted, c deferred
+        [("h.example", "a", 0.9, 0), ("h.example", "b", 0.8, 0),
+         ("h.example", "c", 0.7, 0)],
+        # epoch 0 is exhausted (state carried across batches) -> d defers;
+        # epoch 1 resets -> e,f admitted, g deferred
+        [("h.example", "d", 1.0, 0), ("h.example", "e", 0.9, 1),
+         ("h.example", "f", 0.8, 1), ("h.example", "g", 0.7, 1)],
+        # epoch 2 resets -> h admitted; late epoch-0 row i is deferred
+        [("h.example", "h", 0.5, 2), ("h.example", "i", 1.0, 0)],
+    ]
+    for i, rows in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode(mode).parquet(src)
+        if links is None:
+            links = (spark.readStream.schema(schema)
+                     .option("maxFilesPerTrigger", "1")
+                     .format("parquet").load(src))
+        q = run_throttle_query(links, out, ck, budget_per_host=2,
+                               epoch_col="epoch")
+        q.awaitTermination(120)
+    time.sleep(0.5)
+
+    rows = spark.read.parquet(out).collect()
+    admitted = {r.url_canon for r in rows if r.admitted == 1}
+    deferred = {r.url_canon for r in rows if r.admitted == 0}
+    assert admitted == {"a", "b", "e", "f", "h"}
+    assert deferred == {"c", "d", "g", "i"}
+    # epoch column round-trips
+    assert {(r.url_canon, r.epoch) for r in rows if r.url_canon in "ai"} \
+        == {("a", 0), ("i", 0)}
