@@ -27,13 +27,16 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_DATA = os.environ.get("SIREN_BENCH_DATA", "/tmp/siren_bench_web")
-# 2000 x 150 = 300k articles per steady round: big enough that the
-# ~16s/round fixed cost (job scheduling, python-UDF spin-up, broadcast
-# build, commit) sits under ~10% of an 8-core round — the shape a
-# 10^10-frontier round actually has (millions of pages/round), so the
-# N->4N efficiency measures the data path, not per-round latency.
-N_INDEX = int(os.environ.get("SIREN_BENCH_INDEX", "2000"))
+# 8000 indexes / 4 waves x 150 links = 300k articles per steady round
+# (1.2M total): big enough that the per-round fixed cost (job
+# scheduling, python-UDF spin-up, broadcast build, commit) sits under
+# ~10% of an 8-core round — the shape a 10^10-frontier round actually
+# has (millions of pages/round) — and 4 waves give a MULTI-round steady
+# window (rounds 1..4 all full volume) instead of the single steady
+# round the 2-generation web had.
+N_INDEX = int(os.environ.get("SIREN_BENCH_INDEX", "8000"))
 LINKS = int(os.environ.get("SIREN_BENCH_LINKS", "150"))
+WAVES = int(os.environ.get("SIREN_BENCH_WAVES", "4"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -78,10 +81,11 @@ def _phase_gen() -> None:
     spark = get_spark(f"local[{CPUS}]", app_name="bench_gen",
                       shuffle_partitions=64)
     pages, seeds, n_articles = gen_bench_pages(
-        spark, n_index=N_INDEX, links_per_index=LINKS)
+        spark, n_index=N_INDEX, links_per_index=LINKS, waves=WAVES)
     pages.write.mode("overwrite").parquet(f"{BENCH_DATA}/pages")
     seeds.write.mode("overwrite").parquet(f"{BENCH_DATA}/seeds")
-    print(json.dumps({"n_articles": n_articles, "n_index": N_INDEX}))
+    print(json.dumps({"n_articles": n_articles, "n_index": N_INDEX,
+                      "waves": WAVES}))
 
 
 def _phase_crawl(master_cores: str) -> None:
@@ -128,8 +132,9 @@ def _phase_crawl(master_cores: str) -> None:
         extracted = res.results.count() if res.results is not None else 0
         dt = time.time() - t0
         # steady-state = rounds after the first (gen0 pays python-worker
-        # spawn + first corpus scan); at 10^10-frontier scale the run is
-        # thousands of rounds and gen0 vanishes
+        # spawn + first corpus scan, and seeds only a wave of indexes);
+        # with the 4-wave bench web this is a 4-round full-volume window.
+        # At 10^10-frontier scale the run is thousands of such rounds.
         ss_sec = sum(res.round_secs[1:]) if res.round_secs else 0.0
         ss_urls = sum(res.round_urls[1:]) if res.round_urls else 0
         print(json.dumps({
@@ -138,7 +143,10 @@ def _phase_crawl(master_cores: str) -> None:
             "urls": int(fetched) + int(extracted),
             "urls_per_sec": round((int(fetched) + int(extracted)) / dt, 1),
             "steady_sec": round(ss_sec, 2), "steady_urls": int(ss_urls),
+            "steady_rounds": max(0, len(res.round_secs or []) - 1),
             "steady_urls_per_sec": round(ss_urls / ss_sec, 1) if ss_sec else None,
+            "round_secs": [round(s, 2) for s in (res.round_secs or [])],
+            "round_urls": list(res.round_urls or []),
             "rounds": res.rounds,
         }))
     finally:
@@ -199,7 +207,7 @@ def _mp_parse_range(bounds) -> int:
 def _sub(args: list[str]) -> dict:
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), *args],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=3000,
     )
     if proc.returncode != 0:
         raise RuntimeError(f"phase {args} failed:\n{proc.stderr[-3000:]}")
@@ -220,9 +228,9 @@ def main() -> None:
         return
 
     queries = _sub(["--phase", "queries"])
-    # the bench web is a pure function of (N_INDEX, LINKS) — reuse it
+    # the bench web is a pure function of (N_INDEX, LINKS, WAVES) — reuse
     marker = os.path.join(BENCH_DATA, "marker.json")
-    want = {"n_index": N_INDEX, "links": LINKS}
+    want = {"n_index": N_INDEX, "links": LINKS, "waves": WAVES}
     gen = None
     if os.path.exists(marker):
         with open(marker) as f:
@@ -233,61 +241,55 @@ def main() -> None:
         gen = _sub(["--phase", "gen"])
         with open(marker, "w") as f:
             json.dump({"params": want, "result": gen}, f)
+    # Protocol (fixed IN ADVANCE — no optional stopping): best-of-K at
+    # BOTH levels with the same K, attempts strictly interleaved
+    # lo,hi,lo,hi,... so a multi-minute host-steal episode cannot bias
+    # one level's whole sample; the 32-core level is sampled once and
+    # REPORTED (the documented microVM kernel ceiling, BASELINE.md) but
+    # is not part of the N->4N rule. Efficiency is reported for both the
+    # best attempts (capability: the least-stolen run per level) and the
+    # median attempts (robustness under noise); every attempt is logged.
     levels = [int(x) for x in os.environ.get(
         "SIREN_BENCH_CORES", "2,8").split(",")]
-    # host CPU-steal bursts (13-18% sustained, up to 4x slowdowns on
-    # individual runs observed) hit short runs hardest. Take best-of-N
-    # at BOTH levels (best = the least-stolen attempt, i.e. quiet-host
-    # throughput — the estimand is capability, not mean-under-noise)
-    # and INTERLEAVE the first attempts so a multi-minute steal episode
-    # cannot bias one level's whole sample. The high level then keeps
-    # sampling (bounded by TRIES_HI) until the measured steady N->4N
-    # efficiency clears EFF_TARGET or the budget runs out — extra
-    # attempts only add samples of the same max-estimator, and every
-    # attempt is logged in the JSON either way.
-    tries_lo = int(os.environ.get("SIREN_BENCH_TRIES_LO", "2"))
-    tries_hi = int(os.environ.get("SIREN_BENCH_TRIES_HI", "6"))
-    min_hi = int(os.environ.get("SIREN_BENCH_MIN_HI", "2"))
-    eff_target = float(os.environ.get("SIREN_BENCH_EFF_TARGET", "0.8"))
+    tries = int(os.environ.get("SIREN_BENCH_TRIES", "3"))
+    tries_32 = int(os.environ.get("SIREN_BENCH_TRIES_32", "1"))
     lo_level, hi_level = min(levels), max(levels)
 
-    runs: dict[int, dict] = {}
-    attempts_log: dict[int, list] = {n: [] for n in levels}
+    best: dict[int, dict] = {}
+    attempts: dict[int, list] = {n: [] for n in [*levels, 32]}
 
     def attempt(n: int) -> None:
         r = _sub(["--phase", "crawl", str(n)])
-        attempts_log[n].append(r.get("steady_urls_per_sec"))
-        if n not in runs or (r.get("steady_urls_per_sec") or 0) > \
-                (runs[n].get("steady_urls_per_sec") or 0):
-            runs[n] = r
+        attempts[n].append(r)
+        if n not in best or (r.get("steady_urls_per_sec") or 0) > \
+                (best[n].get("steady_urls_per_sec") or 0):
+            best[n] = r
 
-    def eff_now() -> float:
-        a = (runs.get(lo_level) or {}).get("steady_urls_per_sec")
-        b = (runs.get(hi_level) or {}).get("steady_urls_per_sec")
-        if not a or not b:
-            return 0.0
-        return (b / a) / (hi_level / lo_level)
-
-    # interleaved base sample: lo, hi, lo, hi, ...
-    for i in range(max(tries_lo, min_hi)):
-        if i < tries_lo:
-            attempt(lo_level)
-        if i < min_hi:
-            attempt(hi_level)
-    for n in levels:                       # any intermediate levels
-        if n not in (lo_level, hi_level):
-            attempt(n)
-    hi_done = min_hi
-    while hi_done < tries_hi and eff_now() < eff_target:
+    for _i in range(tries):
+        attempt(lo_level)
         attempt(hi_level)
-        hi_done += 1
+    for _i in range(tries_32):
+        if 32 not in (lo_level, hi_level):
+            attempt(32)
 
     mp_control = _sub(["--phase", "mpparse"])
 
-    def eff(lo: int, hi: int, key: str) -> float | None:
-        if lo not in runs or hi not in runs:
+    def _median(xs: list[float]) -> float | None:
+        xs = sorted(x for x in xs if x)
+        if not xs:
             return None
-        a, b = runs[lo].get(key), runs[hi].get(key)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+    def median_rate(n: int, key: str) -> float | None:
+        return _median([a.get(key) or 0.0 for a in attempts.get(n, [])])
+
+    def eff(lo: int, hi: int, key: str, est: str = "best") -> float | None:
+        if est == "best":
+            a = (best.get(lo) or {}).get(key)
+            b = (best.get(hi) or {}).get(key)
+        else:
+            a, b = median_rate(lo, key), median_rate(hi, key)
         if not a or not b:
             return None
         return round((b / a) / (hi / lo), 3)
@@ -300,23 +302,38 @@ def main() -> None:
         "sf": SF_DIR,
         "crawl": {
             "n_index": gen["n_index"], "n_articles": gen["n_articles"],
-            "runs": runs,
+            "waves": gen.get("waves", 1),
+            "protocol": {"tries_per_level": tries, "interleaved": True,
+                         "tries_32": tries_32,
+                         "steady_window_rounds":
+                             (best.get(hi_level) or {}).get("steady_rounds")},
+            "runs": best,
             "attempts_steady_urls_per_sec": {
-                str(k): v for k, v in attempts_log.items()},
+                str(k): [a.get("steady_urls_per_sec") for a in v]
+                for k, v in attempts.items() if v},
+            "attempts_urls_per_sec": {
+                str(k): [a.get("urls_per_sec") for a in v]
+                for k, v in attempts.items() if v},
             # N -> 4N scaling efficiency = (urls/s at 4N) / (4 * urls/s at N)
             "scaling_efficiency_2_to_8": eff(2, 8, "urls_per_sec"),
             "scaling_efficiency_2_to_8_steady": eff(2, 8, "steady_urls_per_sec"),
+            "scaling_efficiency_2_to_8_median": eff(2, 8, "urls_per_sec", "median"),
+            "scaling_efficiency_2_to_8_steady_median": eff(
+                2, 8, "steady_urls_per_sec", "median"),
             "scaling_efficiency_8_to_32": eff(8, 32, "urls_per_sec"),
             "scaling_efficiency_8_to_32_steady": eff(8, 32, "steady_urls_per_sec"),
             "mp_parse_control": mp_control,
-            "note": ("best-of-N per level, attempts interleaved (host "
-                     "CPU-steal bursts hit short runs hardest); "
+            "note": ("fixed symmetric best-of-K per level, strictly "
+                     "interleaved (host CPU-steal bursts, 13-18% "
+                     "sustained with 4x spikes, hit short runs hardest); "
+                     "median-based efficiencies reported alongside. "
                      "mp_parse_control = Spark-free multiprocessing parse "
                      "of the same pages, evidencing the kernel scales "
                      "with cores when the host is quiet. This microVM "
-                     "saturates kernel-side (sys>60%, steal 13-18%) "
-                     "above ~8-16 way parallelism, so 2->8 is the clean "
-                     "N->4N pair — see BASELINE.md"),
+                     "saturates kernel-side (sys>60%) above ~8-16 way "
+                     "parallelism, so 2->8 is the clean N->4N pair and "
+                     "8->32 is reported for transparency — see "
+                     "BASELINE.md"),
         },
     }
     print(json.dumps(out))

@@ -40,7 +40,7 @@ import time
 from dataclasses import dataclass, field as dc_field
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from siren_spark.functions.udfs import canonicalize_udf, domain_udf, extract_pages
@@ -609,13 +609,18 @@ def run_crawl(
                               bloom=bloom, bloom_bitmaps=bloom_bitmaps,
                               seen_exact=seen_exact,
                               cache_registry=caches)
+        # per-status counts ride the write as Observation metrics — no
+        # second job over the staged parquet (part of the per-round
+        # fixed cost the N->4N scaling comparison pays at every level)
+        ann_obs = Observation(f"ann_{gen}")
+        ann = ann.observe(ann_obs, *[
+            F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+            for s in ("blocked", "deduped", "scheduled", "deferred")])
         ann_path = store.stage_table(gen, "frontier_ann", ann)
         for c in caches:
             c.unpersist()
         ann_r = spark.read.parquet(ann_path)
-        n_by_status = {r["status"]: r["n"] for r in
-                       ann_r.groupBy("status").agg(F.count("*").alias("n"))
-                       .collect()}
+        n_by_status = {k: int(v) for k, v in ann_obs.get.items() if v}
         _log(f"gen {gen} annotate {time.time()-t0:.1f}s {n_by_status}")
         if not n_by_status:   # empty frontier -> done (no round committed)
             break
@@ -675,10 +680,16 @@ def run_crawl(
 
         cnt_caches: list = []
         staged_paths: dict[str, str] = {}
+        # the round's record count rides the counters write as an
+        # Observation — no post-commit re-read of the counters table
+        cnt_obs = Observation(f"cnt_{gen}")
+        counters_df = _round_counters(ann_r, ex, gen, cnt_caches).observe(
+            cnt_obs,
+            F.sum(F.when(F.col("metric") == "records", F.col("n"))
+                  .otherwise(F.lit(0))).alias("n_rec"))
         for name, df in (("frontier", next_frontier),
                          ("results", results_round),
-                         ("counters", _round_counters(ann_r, ex, gen,
-                                                      cnt_caches))):
+                         ("counters", counters_df)):
             tw = time.time()
             staged_paths[name] = store.stage_table(gen, name, df)
             _log(f"gen {gen}   write {name} {time.time()-tw:.1f}s")
@@ -739,12 +750,7 @@ def run_crawl(
         _log(f"gen {gen} commit {time.time()-t2:.1f}s "
              f"total {time.time()-t0:.1f}s")
         round_secs.append(time.time() - t0)
-        # record count from the tiny staged counters table — no second
-        # scan of the (large) extraction output
-        n_rec = int(
-            (spark.read.parquet(f"{store._gen_dir(gen)}/counters")
-             .filter(F.col("metric") == "records")
-             .agg(F.sum("n")).collect()[0][0]) or 0)
+        n_rec = int(cnt_obs.get["n_rec"] or 0)
         round_urls.append(int(n_by_status.get("scheduled", 0)) + n_rec)
 
         # roll forward from committed state

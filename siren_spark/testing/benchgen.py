@@ -15,8 +15,14 @@ Shape (mirror dialect, ids 0..n_index-1 are search pages):
 - every 97th article page is withheld from the table (fetch-miss /
   deferred counter work).
 
-The crawl therefore runs exactly 2 generations: round 0 fetches all
-indexes, round 1 fetches all discovered articles.
+``waves`` chains the crawl depth: indexes split into ``waves``
+contiguous blocks, only wave 0 is seeded, and index i carries one
+absolute-URL anchor to index i + wave_size (absolute hrefs pass the
+mirror kernel's /news/ join untouched, urls.py join_url). Round r then
+fetches wave-r indexes plus wave-(r-1) articles: waves+1 generations
+total, with ``waves`` steady full-volume rounds — the multi-round
+steady window the N->4N scaling evidence measures (a 10^10-URL crawl is
+thousands of such rounds). waves=1 reproduces the old 2-round shape.
 """
 
 from __future__ import annotations
@@ -86,10 +92,16 @@ def article_page(aid: int, links_per_index: int, n_domains: int):
     return url, html, f"{headline}\n{desc}"
 
 
-def index_page(i: int, links_per_index: int, n_domains: int,
-               dup_links: int = 3):
+def index_url(i: int, n_domains: int) -> str:
     domain = _dom(i, n_domains)
-    url = f"https://{domain}/getsearchdata.cms?pagenumber={i}&query=crisis"
+    return f"https://{domain}/getsearchdata.cms?pagenumber={i}&query=crisis"
+
+
+def index_page(i: int, links_per_index: int, n_domains: int,
+               dup_links: int = 3, *, n_index: int | None = None,
+               wave_size: int | None = None):
+    domain = _dom(i, n_domains)
+    url = index_url(i, n_domains)
     aids = list(range(i * links_per_index, (i + 1) * links_per_index))
     # cross-page duplicate discoveries (the within-page ones are removed
     # by the kernels' reference done-set semantics): when the next index
@@ -98,6 +110,12 @@ def index_page(i: int, links_per_index: int, n_domains: int,
         aids += list(range((i + 1) * links_per_index,
                            (i + 1) * links_per_index + dup_links))
     anchors = "".join(f'<a href="/story-{a}">x</a>' for a in aids)
+    # wave chaining: one absolute anchor to the same slot in the next
+    # wave (absolute hrefs survive the kernel's /news/ join verbatim)
+    if (wave_size and n_index is not None
+            and i + wave_size < n_index):
+        anchors += (f'<a href="{index_url(i + wave_size, n_domains)}">'
+                    "next</a>")
     html = (
         '<html><body><div class="searchcontent">' + anchors
         + '<div class="Pagination clearfix"><a href="/p2">2</a></div>'
@@ -113,9 +131,12 @@ def gen_bench_pages(
     links_per_index: int = 50,
     n_domains: int = 20,
     partitions: int = 64,
+    waves: int = 1,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Build (pages, seeds, n_articles) for the crawl bench."""
+    assert n_index % waves == 0, "waves must split n_index evenly"
     n_articles = n_index * links_per_index
+    wave_size = n_index // waves if waves > 1 else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -123,7 +144,9 @@ def gen_bench_pages(
             for raw in pdf["id"]:
                 i = int(raw)
                 if i < n_index:
-                    url, html = index_page(i, links_per_index, n_domains)
+                    url, html = index_page(i, links_per_index, n_domains,
+                                           n_index=n_index,
+                                           wave_size=wave_size)
                     text = ""
                 else:
                     aid = i - n_index
@@ -151,12 +174,11 @@ def gen_bench_pages(
 
     def gen_seeds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls = [index_page(int(i), links_per_index, n_domains)[0]
-                    for i in pdf["id"]]
+            urls = [index_url(int(i), n_domains) for i in pdf["id"]]
             yield pd.DataFrame({"url": urls})
 
     seeds = (
-        spark.range(0, n_index, 1, 8)
+        spark.range(0, wave_size if wave_size else n_index, 1, 8)
         .mapInPandas(gen_seeds, "url string")
         .selectExpr("url", "'crisis' as keyword", "'mirror' as source",
                     "map('keyword', 'crisis') as meta")
