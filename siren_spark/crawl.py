@@ -37,6 +37,7 @@ mirror.py:53), errors (kernel exceptions, mirror.py:81-85).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field as dc_field
 from datetime import datetime
 
@@ -665,12 +666,12 @@ def run_crawl(
             results_round = results_round.withColumn(
                 "lang", langid_udf()(F.col("text")))
 
+        # url_canon/domain were computed inside the extraction kernel
+        # (the link strings were already in Python there) — this write is
+        # a pure column-pruned select, no UDF job over the staged output
         links = (
             ex.filter(F.col("kind") == "link")
-            .select(F.col("url"),
-                    canonicalize_udf(F.col("url")).alias("url_canon"),
-                    "meta", "via")
-            .withColumn("domain", domain_udf(F.col("url_canon")))
+            .select("url", "url_canon", "meta", "via", "domain")
             .withColumn("priority", F.lit(round(1.0 / (gen + 2), 6)))
             .withColumn("depth", F.lit(gen + 1))
             .select(*FRONTIER_COLS)
@@ -679,7 +680,6 @@ def run_crawl(
             ann_r.filter(F.col("status") == "deferred").select(*FRONTIER_COLS))
 
         cnt_caches: list = []
-        staged_paths: dict[str, str] = {}
         # the round's record count rides the counters write as an
         # Observation — no post-commit re-read of the counters table
         cnt_obs = Observation(f"cnt_{gen}")
@@ -687,12 +687,29 @@ def run_crawl(
             cnt_obs,
             F.sum(F.when(F.col("metric") == "records", F.col("n"))
                   .otherwise(F.lit(0))).alias("n_rec"))
-        for name, df in (("frontier", next_frontier),
-                         ("results", results_round),
-                         ("counters", counters_df)):
-            tw = time.time()
-            staged_paths[name] = store.stage_table(gen, name, df)
-            _log(f"gen {gen}   write {name} {time.time()-tw:.1f}s")
+        # The three derived tables depend only on the two committed
+        # parquet tables (ann_r, ex) and are independent of each other —
+        # stage them from concurrent driver threads so the cluster runs
+        # them as overlapping jobs (tail tasks of one fill the slots of
+        # another) instead of paying scheduling latency + straggler tail
+        # three times in sequence. The round's Bloom-delta build (also
+        # only a function of ann_path) overlaps in the same window.
+        # Per-round serial cost is exactly what the N->4N scaling
+        # comparison pays at every cluster size.
+        tw = time.time()
+        bloom_fut = None
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = {name: pool.submit(store.stage_table, gen, name, df)
+                    for name, df in (("frontier", next_frontier),
+                                     ("results", results_round),
+                                     ("counters", counters_df))}
+            if cfg.use_bloom and not bucketed:
+                delta_r = (ann_r.filter(F.col("status") == "scheduled")
+                           .select("url_canon"))
+                bloom_fut = pool.submit(_build_delta_bloom, delta_r)
+            staged_paths = {name: f.result() for name, f in futs.items()}
+        _log(f"gen {gen}   write frontier|results|counters "
+             f"{time.time()-tw:.1f}s")
         for c in cnt_caches:
             c.unpersist()
 
@@ -756,13 +773,10 @@ def run_crawl(
         # roll forward from committed state
         frontier = store.read(spark, gen, "frontier")
         seen_exact = _seen_df(spark, seen_sources)
-        if cfg.use_bloom and not bucketed:
-            tb = time.time()
-            delta_r = (spark.read.parquet(ann_path)
-                       .filter(F.col("status") == "scheduled")
-                       .select("url_canon"))
-            bloom = merge_blooms(bloom, _build_delta_bloom(delta_r))
-            _log(f"gen {gen} bloom-delta {time.time()-tb:.1f}s")
+        if bloom_fut is not None:
+            # the delta filter was built concurrently with the staged
+            # writes; only the (numpy, driver-side, ~ms) OR-merge is left
+            bloom = merge_blooms(bloom, bloom_fut.result())
 
         if fail_after_round is not None and gen >= fail_after_round:
             raise RuntimeError(f"simulated kill after round {gen}")

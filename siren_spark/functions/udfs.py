@@ -41,9 +41,17 @@ def domain_udf(urls: pd.Series) -> pd.Series:
 
 
 # Union output of link discovery + record extraction. kind: 'link'|'record'.
+# url_canon/domain are populated for link rows only: the kernel pass
+# already holds every discovered URL as a Python string, so computing
+# the canonical key + registrable domain here is marginal work — while
+# deriving them downstream would schedule a second pandas-UDF job over
+# the staged extraction output every round (measured ~6 s/round at
+# bench scale, a pure serial add-on to the N->4N comparison).
 EXTRACT_SCHEMA = StructType([
     StructField("kind", StringType()),
     StructField("url", StringType()),
+    StructField("url_canon", StringType()),    # link rows: canonical key
+    StructField("domain", StringType()),       # link rows: registrable domain
     StructField("meta", MapType(StringType(), StringType())),
     StructField("via", StringType()),          # parent page url (lineage)
     StructField("source", StringType()),
@@ -62,9 +70,12 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {c: [] for c in cols}
 
         def emit(kind, url, meta, via, source=None, title=None, author=None,
-                 location=None, published=None, text=None, extra=None):
+                 location=None, published=None, text=None, extra=None,
+                 url_canon=None, domain=None):
             out["kind"].append(kind)
             out["url"].append(url)
+            out["url_canon"].append(url_canon)
+            out["domain"].append(domain)
             out["meta"].append(meta)
             out["via"].append(via)
             out["source"].append(source)
@@ -85,7 +96,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if res.error is not None:
                 emit("error", url, None, url, text=res.error)
             for link in res.links:
-                emit("link", link.url, link.meta, url)
+                canon = canonicalize_url(link.url)
+                emit("link", link.url, link.meta, url,
+                     url_canon=canon, domain=registrable_domain(canon))
             for rec in res.records:
                 emit("record", rec["url"], None, url, rec["source"],
                      rec["title"], rec["author"], rec["location"],

@@ -45,7 +45,8 @@ def extract_stream(
     records: DataFrame = (
         extract_pages(inp)
         .filter(F.col("kind") == "record")
-        .drop("kind", "meta")
+        # url_canon/domain are link-row-only columns (null on records)
+        .drop("kind", "meta", "url_canon", "domain")
     )
     writer = (records.writeStream
               .format("parquet")
