@@ -622,6 +622,70 @@ def _q_fingerprint(docs):
         F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
 
 
+def _q_repetition(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.text import with_repetition_stats
+    return with_repetition_stats(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "dup_line_ratio", "dup_token_ratio")
+
+
+_REPETITION_DUCK = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
+                        AS DOUBLE)
+                   / CAST(len(string_split(text, chr(10))) AS DOUBLE), 4)
+         AS dup_line_ratio,
+       ROUND(1.0 - CAST(len(list_distinct(string_split(lower(text), ' ')))
+                        AS DOUBLE)
+                   / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 4)
+         AS dup_token_ratio
+FROM documents WHERE length(text) > 0
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents augmented with deterministic synthetic
+    PII (the synthetic corpus carries none of its own — the injection
+    makes the match counts and replacements non-trivial)."""
+    from pyspark.sql import functions as F
+    from siren_spark.functions.text import with_pii_scrubbed
+    _views(spark, sf_dir)
+    aug = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex-mail.example.com or 415-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                   4, "0")).alias("text"))
+    return with_pii_scrubbed(aug).select(
+        "doc_id", "n_emails", "n_phones", "text_scrubbed")
+
+
+def _pii_duck() -> str:
+    from siren_spark.functions.text import PII_EMAIL_RE, PII_PHONE_RE
+    return f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@ex-mail.example.com or 415-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}', 0)) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}', 0)) AS BIGINT)
+         AS n_phones,
+       regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_scrubbed
+FROM aug
+"""
+
+
+_PII_DUCK = _pii_duck()
+
+
 def _q_minhash(docs):
     from siren_spark.functions.similarity import minhash_lsh_pairs
     return minhash_lsh_pairs(docs, perms=8, bands=4, band_cap=256)
@@ -944,6 +1008,8 @@ _REGISTRY: dict[str, tuple] = {
     "text_token_bpe": (_docs_q(_q_tokbpe), _TOK_BPE_DUCK),
     "text_quality_score": (_docs_q(_q_quality), _QUALITY),
     "text_stats": (_docs_q(_q_text_stats), _TEXT_STATS_DUCK),
+    "text_repetition_stats": (_docs_q(_q_repetition), _REPETITION_DUCK),
+    "text_pii_scrub": (_q_pii_scrub, _PII_DUCK),
     "doc_fingerprint": (_docs_q(_q_fingerprint), _FINGERPRINT_DUCK),
     "k9_url_canonicalize": (_q_canonicalize, _CANON_ORACLE),
 }

@@ -216,6 +216,60 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("alpha_ratio", F.round(n_alpha / n_chars, 4)))
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add C4/Gopher-style repetition signals (both ROUND(...,4)):
+
+    - ``dup_line_ratio``: 1 - distinct lines / lines — boilerplate pages
+      (nav soup, cookie banners, SEO spam) repeat whole lines;
+    - ``dup_token_ratio``: 1 - distinct tokens / tokens — keyword
+      stuffing and template text repeat words far above natural prose.
+
+    Pure column math (split + array_distinct), one pass, no shuffle —
+    the same flat-map shape as with_text_stats, safe at any corpus size.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    d_lines = F.size(F.array_distinct(lines)).cast("double")
+    toks = F.split(F.lower(t), " ")
+    n_tok = F.size(toks).cast("double")
+    d_tok = F.size(F.array_distinct(toks)).cast("double")
+    return (df.filter(F.length(t) > 0)
+            .withColumn("dup_line_ratio",
+                        F.round(F.lit(1.0) - d_lines / n_lines, 4))
+            .withColumn("dup_token_ratio",
+                        F.round(F.lit(1.0) - d_tok / n_tok, 4)))
+
+
+# Deliberately anchored, fixed-shape patterns: identical leftmost-match
+# semantics under Java regex (Spark) and RE2 (DuckDB oracle), so the
+# scrub is engine-independent. A production pipeline extends the table.
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def with_pii_scrubbed(df: DataFrame, text_col: str = "text",
+                      out_col: str = "text_scrubbed") -> DataFrame:
+    """Add ``n_emails`` / ``n_phones`` match counts and ``out_col`` with
+    emails replaced by ``<EMAIL>`` then phones by ``<PHONE>`` (order
+    fixed: an email is scrubbed before its digits can look like a
+    phone). Pure JVM regex — no UDF, codegen-friendly, flat map."""
+    t = F.col(text_col)
+    return (df.withColumn(
+                "n_emails",
+                F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))
+                       ).cast("long"))
+            .withColumn(
+                "n_phones",
+                F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0))
+                       ).cast("long"))
+            .withColumn(
+                out_col,
+                F.regexp_replace(
+                    F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                    PII_PHONE_RE, "<PHONE>")))
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups: (text_hash, canonical_doc, dup_count).
@@ -231,5 +285,6 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 __all__ = ["with_token_counts", "with_bpe_token_count",
            "with_bpe_token_count_merged", "with_langid",
            "with_quality_score", "with_text_stats", "with_fingerprint",
+           "with_repetition_stats", "with_pii_scrubbed",
            "dedup_exact", "BPE_PRETOKEN_RE", "STOPWORDS",
-           "DEFAULT_BPE_MERGES"]
+           "DEFAULT_BPE_MERGES", "PII_EMAIL_RE", "PII_PHONE_RE"]

@@ -386,3 +386,35 @@ def test_bpe_merge_loop_counts(spark):
                        F.length("text").alias("n_chars")).collect()
     assert rows and all(
         r.n_bpe_tokens <= r.n_bpe_tokens_merged <= r.n_chars for r in rows)
+
+
+def test_repetition_stats(spark):
+    from siren_spark.functions.text import with_repetition_stats
+    df = spark.createDataFrame(
+        [(1, "nav\nnav\nbody text here\nnav"),       # 4 lines, 2 distinct
+         (2, "buy now buy now buy now"),             # 6 tokens, 2 distinct
+         (3, "all distinct words here"),
+         (4, "")],                                   # filtered out
+        "doc_id long, text string")
+    got = {r.doc_id: (r.dup_line_ratio, r.dup_token_ratio)
+           for r in with_repetition_stats(df).collect()}
+    assert 4 not in got
+    assert got[1][0] == 0.5                          # 1 - 2/4
+    assert got[2] == (0.0, round(1 - 2 / 6, 4))
+    assert got[3] == (0.0, 0.0)
+
+
+def test_pii_scrubbed(spark):
+    from siren_spark.functions.text import with_pii_scrubbed
+    df = spark.createDataFrame(
+        [(1, "write to Jo.Smith+x@ex-mail.example.co.uk or 415-555-0137 now"),
+         (2, "no pii in this one 12-34"),
+         (3, "two mails a@b.io c@d.org and 555-123-4567")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in with_pii_scrubbed(df).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones) == (1, 1)
+    assert rows[1].text_scrubbed == "write to <EMAIL> or <PHONE> now"
+    assert (rows[2].n_emails, rows[2].n_phones) == (0, 0)
+    assert rows[2].text_scrubbed == "no pii in this one 12-34"
+    assert (rows[3].n_emails, rows[3].n_phones) == (2, 1)
+    assert rows[3].text_scrubbed == "two mails <EMAIL> <EMAIL> and <PHONE>"
