@@ -225,12 +225,138 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].append(data)
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer path. The stdlib HTMLParser costs ~45% of kernel parse
+# time in per-character goahead()/updatepos() bookkeeping this engine
+# never uses (error positions, convert-charref rescan windows). This
+# tokenizer walks the document with ONE compiled regex and reuses the
+# stdlib's own attrfind_tolerant loop verbatim for attribute parity;
+# handle_* semantics (lowercased names, unescaped data/attr values,
+# script/style CDATA content model, void elements) match _TreeBuilder.
+# Equivalence is pinned by tests/test_kernels.py::test_fast_parser_
+# differential — any html that the fast path cannot tokenize cleanly
+# (truncated tag at EOF) falls back to the stdlib builder for that page.
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape
+from html.parser import attrfind_tolerant as _attrfind
+
+_FAST_TOKEN_RE = re.compile(
+    r"<(?:"
+    r"!--.*?--\s*"                                    # comment
+    r"|![^>]*"                                        # decl / doctype
+    r"|\?[^>]*"                                       # processing instr
+    r"|/(?P<end>[a-zA-Z][^\s>]*)\s*[^>]*"             # end tag
+    r"|(?P<start>[a-zA-Z][^\t\n\r\f />]*)"            # start tag name
+    r"(?P<body>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"      # attrs (quote-aware)
+    r")>",
+    re.S,
+)
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s" % t, re.I) for t in ("script", "style")
+}
+# stdlib tagfind_tolerant's trailing (?:\s|/(?!>))* — the position attr
+# scanning starts from after the tag name
+_TAGTAIL = re.compile(r"(?:\s|/(?!>))*")
+
+
+def _fast_parse(html: str) -> Node:
+    root = Node("[document]")
+    stack = [root]
+    pos, n = 0, len(html)
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt < 0:
+            data = html[pos:]
+            if data:
+                stack[-1].append(_unescape(data) if "&" in data else data)
+            break
+        if lt > pos:
+            data = html[pos:lt]
+            stack[-1].append(_unescape(data) if "&" in data else data)
+        m = _FAST_TOKEN_RE.match(html, lt)
+        if m is None:
+            # stray '<' (or truncated tag): stdlib emits it as data and
+            # continues after it; a truncated tag at EOF differs — bail
+            # to the reference builder for byte-identical behavior
+            if html.find(">", lt) < 0 and not html.startswith("</", lt):
+                raise ValueError("unterminated markup")
+            stack[-1].append("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        tag = m.group("start")
+        if tag is not None:
+            tag = tag.lower()
+            # replicate stdlib parse_starttag exactly: operate on the
+            # attr text with its terminating '>' present so the
+            # (?:\s|/(?!>))* trailing-consumption and the '/>' check see
+            # the same context as HTMLParser's rawdata scan
+            s = (m.group("body") or "") + ">"
+            bend = len(s) - 1
+            attrs: dict[str, str] = {}
+            k = _TAGTAIL.match(s, 0).end()
+            while k < bend:
+                am = _attrfind.match(s, k)
+                if not am:
+                    break
+                name, rest, value = am.group(1, 2, 3)
+                if not rest:
+                    value = ""
+                elif (value[:1] == "'" == value[-1:]
+                      or value[:1] == '"' == value[-1:]):
+                    value = value[1:-1]
+                if value and "&" in value:
+                    value = _unescape(value)
+                attrs[name.lower()] = value or ""
+                k = am.end()
+            node = Node(tag, attrs)
+            stack[-1].append(node)
+            if s[k:] == "/>":
+                continue                               # self-closing <x/>
+            if tag in _VOID:
+                continue
+            if tag in _CDATA_CLOSE:
+                cm = _CDATA_CLOSE[tag].search(html, pos)
+                stop = cm.start() if cm else n
+                if stop > pos:
+                    node.append(html[pos:stop])        # raw: no unescape
+                if cm is None:
+                    break
+                node_close = html.find(">", stop)
+                pos = n if node_close < 0 else node_close + 1
+                continue
+            stack.append(node)
+        else:
+            end = m.group("end")
+            if end is not None:
+                end = end.lower()
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == end:
+                        del stack[i:]
+                        break
+        # comments/decls/PIs: no handler in _TreeBuilder either
+    return root
+
+
 def parse_html(html: str) -> Node:
     """Parse HTML into a Node tree (root tag '[document]')."""
+    try:
+        return _fast_parse(html or "")
+    except ValueError:
+        pass
     b = _TreeBuilder()
     b.feed(html or "")
     b.close()
     return b.root
 
 
-__all__ = ["Node", "parse_html"]
+def parse_html_reference(html: str) -> Node:
+    """The stdlib-HTMLParser builder (differential-test reference)."""
+    b = _TreeBuilder()
+    b.feed(html or "")
+    b.close()
+    return b.root
+
+
+__all__ = ["Node", "parse_html", "parse_html_reference"]

@@ -218,3 +218,47 @@ def test_sitegen_byte_identity_other_seeds():
         gm = {(r["source"], r["url"], r["text"]) for r in got}
         for e in site.expected:
             assert (e["source"], e["url"], e["text"]) in gm, (seed, e["url"])
+
+
+def test_fast_parser_differential():
+    """The regex fast-path tokenizer must build byte-identical trees to
+    the stdlib-HTMLParser reference builder — over every sitegen page
+    (all dialects) and a set of adversarial snippets (CDATA content,
+    quoted '>', entities, void/self-closing, implied closes, trailing
+    junk). Any page the fast path cannot tokenize falls back to the
+    reference builder inside parse_html itself."""
+    from siren_spark.htmlmini import Node, _fast_parse, parse_html_reference
+    from siren_spark.testing.sitegen import SiteSpec, build_site
+
+    def ser(n):
+        if not isinstance(n, Node):
+            return ("D", n)
+        return ("N", n.tag, tuple(sorted(n.attrs.items())),
+                tuple(ser(c) for c in n.children))
+
+    snippets = [
+        "<div class='a b'><p id=x>t&amp;x</p><br><img src=u.png></div>",
+        "<a href=foo/>bar</a>",                 # NOT self-closing (stdlib)
+        "<a href='q>r'>x</a>",
+        "<script>if (a<b && c>d) {}</script><p>after</p>",
+        "<style>p>a{color:red}</style>ok",
+        "<!-- a > b --><p>c</p>",
+        "<!DOCTYPE html><html><body>x</body></html>",
+        "<ul><li>one<li>two</ul>",
+        "<p>unclosed <b>bold",
+        "<input type=checkbox checked><p>z</p>",
+        "<A HREF='X'>case</A>",
+        "<p>&lt;not a tag&gt; &copy; 2020</p>",
+        "<br/><hr /><span/>text",
+        "<p>a < b</p>",
+        "<p>5 < 6 but 7 > 3</p>",
+        "plain text only & amp",
+        "",
+    ]
+    for s in snippets:
+        assert ser(_fast_parse(s)) == ser(parse_html_reference(s)), s
+    site = build_site(SiteSpec())
+    for p in site.pages:
+        body = p["html"].decode("utf-8", errors="replace")
+        assert ser(_fast_parse(body)) == ser(parse_html_reference(body)), \
+            p["url"]
