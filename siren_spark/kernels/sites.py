@@ -83,6 +83,43 @@ def _rec(source: str, url: str, *, title=None, author=None, location=None,
 # mirror — Mumbai/Bangalore Mirror (reference siren/scrapers/online/mirror.py)
 # ---------------------------------------------------------------------------
 
+# Raw-scan fast path for the article branch: the only thing the kernel
+# needs from an article page is the FIRST
+# <script type="application/ld+json"> body, so building a full DOM for a
+# 20 KB page is ~20x the necessary work. The scan is deliberately
+# conservative — any input where a raw string find could disagree with
+# the tree walk (exotic attr layout or case, an earlier "ld+json"
+# mention, the tag inside a comment or another script/style's CDATA
+# text, unclosed script) falls back to the full parse. Equivalence is
+# pinned by tests/test_kernels.py::test_ldjson_fast_path_differential.
+_LDJSON_OPEN = re.compile(r"<script\s+type=([\"'])application/ld\+json\1\s*>")
+_SCRIPT_CLOSE = re.compile(r"</\s*script", re.I)
+
+
+def _first_ldjson(payload: str) -> str | None:
+    """Body of the first ld+json script, or None to use the tree walk."""
+    m = _LDJSON_OPEN.search(payload)
+    if m is None:
+        return None
+    head = payload[:m.start()]
+    # an earlier 'ld+json' occurrence could be a variant attr layout the
+    # regex missed (extra attrs, spaces around '=') that find() WOULD
+    # match first — or shift which script is "first"
+    if "ld+json" in head:
+        return None
+    # inside a comment? the parser would not see a node here
+    if head.rfind("<!--") > head.rfind("-->"):
+        return None
+    # inside an earlier script/style's raw CDATA text?
+    for opener, close in (("<script", "</script"), ("<style", "</style")):
+        if head.rfind(opener) > head.rfind(close):
+            return None
+    cm = _SCRIPT_CLOSE.search(payload, m.end())
+    if cm is None:
+        return None          # unclosed: EOF semantics left to the tree
+    return payload[m.end():cm.start()]
+
+
 def mirror_parse(payload: str, url: str, meta: dict) -> ParseResult:
     """mirror.py:64-77 (search page), mirror.py:88-99 (ld+json article).
 
@@ -108,9 +145,11 @@ def mirror_parse(payload: str, url: str, meta: dict) -> ParseResult:
                 )
         return ParseResult(links=links)
 
-    soup = parse_html(payload)
-    t = soup.find("script", type="application/ld+json")
-    raw = t.text if t else "{}"
+    raw = _first_ldjson(payload)
+    if raw is None:
+        soup = parse_html(payload)
+        t = soup.find("script", type="application/ld+json")
+        raw = t.text if t else "{}"
     try:
         data = json.loads(raw, strict=False)
     except json.JSONDecodeError:

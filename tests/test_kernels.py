@@ -262,3 +262,47 @@ def test_fast_parser_differential():
         body = p["html"].decode("utf-8", errors="replace")
         assert ser(_fast_parse(body)) == ser(parse_html_reference(body)), \
             p["url"]
+
+
+def test_ldjson_fast_path_differential():
+    """_first_ldjson must agree with the tree walk (find first script
+    with type=application/ld+json, take its raw text) or return None on
+    every input where a raw scan could diverge."""
+    from siren_spark.htmlmini import parse_html
+    from siren_spark.kernels.sites import _first_ldjson
+    from siren_spark.testing.sitegen import SiteSpec, build_site
+
+    def tree_answer(payload):
+        t = parse_html(payload).find("script", type="application/ld+json")
+        return t.text if t else None
+
+    cases = [
+        '<html><script type="application/ld+json">{"a": 1}</script></html>',
+        "<script type='application/ld+json'>{\"b\":2}</script>",
+        '<script type="application/ld+json"></script>',
+        '<script src="x.js"></script><script type="application/ld+json">{}</script>',
+        "<p>no script at all</p>",
+        # divergence-risk shapes: fast path must return None, not guess
+        '<!-- <script type="application/ld+json">{"x":1}</script> -->'
+        '<script type="application/ld+json">{"y":2}</script>',
+        '<script>var s = \'<script type="application/ld+json">{"z":1}<\' + "/script>";</script>'
+        '<script type="application/ld+json">{"w":2}</script>',
+        '<script async type="application/ld+json">{"k":1}</script>'
+        '<script type="application/ld+json">{"l":2}</script>',
+        '<SCRIPT TYPE="application/ld+json">{"m":1}</SCRIPT>',
+        '<script type = "application/ld+json">{"n":1}</script>',
+        '<script type="application/ld+json">{"open": true}',
+    ]
+    for c in cases:
+        fast = _first_ldjson(c)
+        assert fast is None or fast == tree_answer(c), c
+    # corpus: the fast path must FIRE and agree on every mirror article
+    site = build_site(SiteSpec())
+    fired = 0
+    for p in site.pages:
+        body = p["html"].decode("utf-8", errors="replace")
+        fast = _first_ldjson(body)
+        if fast is not None:
+            assert fast == tree_answer(body), p["url"]
+            fired += 1
+    assert fired > 0
