@@ -27,15 +27,18 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_DATA = os.environ.get("SIREN_BENCH_DATA", "/tmp/siren_bench_web")
-# 8000 indexes / 4 waves x 150 links = 300k articles per steady round
-# (1.2M total): big enough that the per-round fixed cost (job
-# scheduling, python-UDF spin-up, broadcast build, commit) sits under
-# ~10% of an 8-core round — the shape a 10^10-frontier round actually
-# has (millions of pages/round) — and 4 waves give a MULTI-round steady
-# window (rounds 1..4 all full volume) instead of the single steady
-# round the 2-generation web had.
+# 8000 indexes / 4 waves x 300 links = 600k articles per steady round
+# (2.4M total): big enough that the per-round fixed cost (job
+# scheduling, python-UDF spin-up, broadcast build, commit — ~7.5 s by
+# Amdahl fit) sits under ~10% of an 8-core round — the shape a
+# 10^10-frontier round actually has (millions of pages/round) — and 4
+# waves give a MULTI-round steady window (rounds 1..4 all full volume)
+# instead of the single steady round the 2-generation web had. Round 3
+# doubled LINKS from 150 when the ld+json fast path made extraction
+# ~5x faster: the round volume tracks engine speed so the serial
+# fraction keeps matching the at-scale shape.
 N_INDEX = int(os.environ.get("SIREN_BENCH_INDEX", "8000"))
-LINKS = int(os.environ.get("SIREN_BENCH_LINKS", "150"))
+LINKS = int(os.environ.get("SIREN_BENCH_LINKS", "300"))
 WAVES = int(os.environ.get("SIREN_BENCH_WAVES", "4"))
 
 HEADLINE = [
