@@ -117,6 +117,21 @@ class CrawlConfig:
     # broadcast the scheduled side of the fetch join below this row count
     # (above it: co-partitioned SMJ, the 10^10-scale path)
     broadcast_fetch_max: int = 2_000_000
+    # JVM-side payload pre-projection (SQL expression over `html`,
+    # evaluated inside the scan pipeline BEFORE the Arrow crossing): when
+    # it yields a non-empty string, that string replaces the page payload
+    # handed to the extraction kernels; empty/NULL keeps the full html.
+    # The JVM->Python Arrow shuttle is the dominant per-byte cost of the
+    # fetch+extract stage once kernels are fast, so projecting a 20 KB
+    # page down to the <200-byte fragment a kernel actually reads cuts
+    # the crossing ~100x. CORRECTNESS PRECONDITION (caller-owned, like
+    # any pushdown hint): the expression must be payload-preserving for
+    # the kernels that will see it — i.e. parse_page(url, proj(html))
+    # == parse_page(url, html) for every page it rewrites. Kernels
+    # export vetted projections (kernels/sites.py
+    # MIRROR_LDJSON_PROJECTION); equivalence is pinned by
+    # tests/test_crawl.py::test_payload_projection_equivalence.
+    payload_projection: str | None = None
     verbose: bool = False
 
 
@@ -645,9 +660,16 @@ def run_crawl(
                 fetch_side = fetch_side.repartition(cfg.pages_partitions,
                                                     "url_canon")
             fetched = fetch_side.join(pages_p, "url_canon", "inner")
+        fetch_in = fetched.select("url", "html", "meta")
+        if cfg.payload_projection:
+            proj = F.expr(cfg.payload_projection)
+            fetch_in = fetch_in.select(
+                "url",
+                F.when(F.length(proj) > 0, proj.cast("binary"))
+                 .otherwise(F.col("html")).alias("html"),
+                "meta")
         extracted_path = store.stage_table(
-            gen, "extracted",
-            extract_pages(fetched.select("url", "html", "meta")))
+            gen, "extracted", extract_pages(fetch_in))
         ex = spark.read.parquet(extracted_path)
         _log(f"gen {gen} fetch+extract {time.time()-t1:.1f}s")
 

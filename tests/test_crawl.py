@@ -404,3 +404,39 @@ def test_crawl_lang_detect_column(spark, site, tmp_path):
                     str(tmp_path / "ck_lang"))
     rows = res.results.select("text", "lang").collect()
     assert rows and all(r.lang == classify(r.text) for r in rows)
+
+
+def test_payload_projection_equivalence(spark, site, engine, tmp_path_factory):
+    """CrawlConfig.payload_projection with the mirror ld+json projection
+    must leave every observable crawl output byte-identical: the JVM
+    pre-projection only shrinks what crosses the Arrow boundary, never
+    what the kernels produce."""
+    from siren_spark.kernels.sites import MIRROR_LDJSON_PROJECTION
+
+    cfg = CrawlConfig(
+        budget_per_host=BUDGET, window_start=WINDOW_START,
+        window_end=WINDOW_END, keywords=SPEC.keywords,
+        use_bloom=True, bloom_bits=1 << 16, bloom_buckets=4, salt_buckets=4,
+        payload_projection=MIRROR_LDJSON_PROJECTION,
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_proj"))
+    proj = run_crawl(spark, pages_df(spark, site.pages),
+                     seeds_df(spark, site.seeds), cfg, ckpt)
+
+    a = sorted(_result_key(r.asDict()) for r in engine.results.collect())
+    b = sorted(_result_key(r.asDict()) for r in proj.results.collect())
+    assert a == b
+    ca = sorted((r.gen, r.domain or "", r.metric, r.n)
+                for r in engine.counters.collect())
+    cb = sorted((r.gen, r.domain or "", r.metric, r.n)
+                for r in proj.counters.collect())
+    assert ca == cb
+    sa = {r.url_canon for r in engine.seen.collect()}
+    sb = {r.url_canon for r in proj.seen.collect()}
+    assert sa == sb
+    # the projection must actually have fired on mirror articles —
+    # otherwise this test proves nothing
+    n_fired = (pages_df(spark, site.pages)
+               .withColumn("p", F.expr(MIRROR_LDJSON_PROJECTION))
+               .filter(F.length("p") > 0).count())
+    assert n_fired > 0
