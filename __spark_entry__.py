@@ -801,8 +801,11 @@ def _q_emb_dedup(emb):
 def _q_ann_lsh_topk(emb):
     from pyspark.sql import functions as F
     from siren_spark.functions.similarity import ann_lsh_topk
+    # bucket_cap passed explicitly (the at-scale shape; default is None
+    # so a cap-induced recall drop is always opt-in) — sf0.01 buckets
+    # are far under the cap, so the DuckDB oracle needs no cap model
     return ann_lsh_topk(emb, query_filter=F.col("vec_id") < 5,
-                        k=3, n_planes=4, multiprobe=True)
+                        k=3, n_planes=4, multiprobe=True, bucket_cap=4096)
 
 
 def _q_ann_ivf_topk(emb):

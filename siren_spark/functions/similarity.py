@@ -423,7 +423,7 @@ def ann_lsh_topk(
     k: int = 3,
     n_planes: int = 4,
     multiprobe: bool = True,
-    bucket_cap: int | None = 4096,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(q_id, vec_id, cosine): top-k neighbors per query via LSH
     blocking — the scale path: NO cross join anywhere in the plan.
@@ -439,7 +439,11 @@ def ann_lsh_topk(
     would otherwise be scanned by every probing query. Buckets above
     the cap are dropped from the CANDIDATE side only — queries keep
     probing their other buckets; an over-cap bucket is the signal to
-    raise ``n_planes``.
+    raise ``n_planes``. The cap is OPT-IN (default ``None``) because a
+    dropped bucket silently lowers recall: true nearest neighbors
+    living in an over-cap bucket vanish from the top-k with no error.
+    At cluster scale pass an explicit cap (e.g. 4096) sized so
+    probes x cap stays within a task's memory, and monitor recall.
     """
     bb = embedding_lsh_buckets(df, id_col, emb_col, n_planes=n_planes)
     qs = bb.where(query_filter)
@@ -580,6 +584,11 @@ def dedup_components(
     docs in no pair — as their own canonical component, so the output is
     a total keep-list over the corpus, not just over paired docs.
 
+    Doc ids must be integral (they are ``cast('long')``; a non-numeric
+    string id becomes NULL and its edges silently vanish — hash string
+    ids to int64 first, e.g. ``F.xxhash64``). Raises ``RuntimeError``
+    if the loop fails to reach a fixed point within ``max_iters``.
+
     Each iteration localCheckpoints the edge frame: iterative self-joins
     otherwise double the lineage every round (exponential plan-analysis
     cost). On a cluster, point ``spark.sparkContext.setCheckpointDir``
@@ -592,6 +601,7 @@ def dedup_components(
          .where(F.col("u") != F.col("v"))
          .distinct()
          .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iters):
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # converged when the edge multiset is unchanged: equal counts
@@ -601,7 +611,17 @@ def dedup_components(
                    or nxt.exceptAll(e).limit(1).count() > 0)
         e = nxt
         if not changed:
+            converged = True
             break
+    if not converged:
+        # the post-loop star extraction is only valid at a fixed point;
+        # a non-converged edge set would yield silently wrong
+        # component_id/is_canonical — fail loudly instead (the
+        # algorithm converges in O(log N) rounds, so hitting 32 means
+        # pathological input such as ids overflowing the long cast)
+        raise RuntimeError(
+            f"dedup_components did not converge within {max_iters} "
+            f"large-star/small-star iterations; raise max_iters")
     # at convergence every component is a star rooted at its min id
     members = e.select(F.col("u").alias(id_col),
                        F.col("v").alias("component_id"))

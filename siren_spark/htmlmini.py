@@ -246,7 +246,10 @@ _FAST_TOKEN_RE = re.compile(
     r"!--.*?--\s*"                                    # comment
     r"|![^>]*"                                        # decl / doctype
     r"|\?[^>]*"                                       # processing instr
-    r"|/(?P<end>[a-zA-Z][^\s>]*)\s*[^>]*"             # end tag
+    # end tag: the name class mirrors stdlib tagfind_tolerant (stops at
+    # '/' and controls) so a bogus '</di/v>' closes 'di' exactly like
+    # HTMLParser's discarded-tag path does
+    r"|/(?P<end>[a-zA-Z][^\t\n\r\f />\x00]*)\s*[^>]*"
     r"|(?P<start>[a-zA-Z][^\t\n\r\f />]*)"            # start tag name
     r"(?P<body>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"      # attrs (quote-aware)
     r")>",
@@ -255,6 +258,18 @@ _FAST_TOKEN_RE = re.compile(
 _CDATA_CLOSE = {
     t: re.compile(r"</\s*%s" % t, re.I) for t in ("script", "style")
 }
+# a CDATA close *candidate* only actually closes the element if it is a
+# full well-formed end tag for exactly that element (stdlib endtagfind +
+# the elem == cdata_elem check in parse_endtag); anything else — e.g.
+# '</scripty>' or '</script foo>' — keeps HTMLParser in CDATA mode, and
+# the fast path bails to the reference builder for those pages
+_CDATA_CLOSE_FULL = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.I) for t in ("script", "style")
+}
+# stdlib _markupbase._commentclose — '<!--' with no such close anywhere
+# after it is an *unterminated* comment, which HTMLParser re-emits as
+# data at EOF rather than swallowing as a declaration
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 # stdlib tagfind_tolerant's trailing (?:\s|/(?!>))* — the position attr
 # scanning starts from after the tag name
 _TAGTAIL = re.compile(r"(?:\s|/(?!>))*")
@@ -274,12 +289,20 @@ def _fast_parse(html: str) -> Node:
         if lt > pos:
             data = html[pos:lt]
             stack[-1].append(_unescape(data) if "&" in data else data)
+        if html.startswith("<!--", lt) and \
+                _COMMENT_CLOSE.search(html, lt + 4) is None:
+            # unterminated comment: stdlib re-emits '<!-- ... >' as data
+            # at EOF; the decl branch below would swallow it — bail
+            raise ValueError("unterminated comment")
         m = _FAST_TOKEN_RE.match(html, lt)
         if m is None:
-            # stray '<' (or truncated tag): stdlib emits it as data and
-            # continues after it; a truncated tag at EOF differs — bail
-            # to the reference builder for byte-identical behavior
-            if html.find(">", lt) < 0 and not html.startswith("</", lt):
+            # stray '<' (or truncated tag at EOF): stdlib emits it as
+            # data and continues after it — but a '</' the end-tag
+            # branch couldn't match ('</ div>', '</>') takes stdlib's
+            # whitespace-tolerant endtagfind / bogus-tag paths, which
+            # this tokenizer does not model: bail to the reference
+            # builder for byte-identical behavior
+            if html.startswith("</", lt) or html.find(">", lt) < 0:
                 raise ValueError("unterminated markup")
             stack[-1].append("<")
             pos = lt + 1
@@ -318,13 +341,20 @@ def _fast_parse(html: str) -> Node:
                 continue
             if tag in _CDATA_CLOSE:
                 cm = _CDATA_CLOSE[tag].search(html, pos)
+                if cm is not None:
+                    # the candidate only closes the element if it is a
+                    # full '</tag>' end tag; stdlib keeps '</scripty>'
+                    # or '</script foo>' as CDATA *data* and scans on —
+                    # a loop this tokenizer doesn't model, so bail
+                    fm = _CDATA_CLOSE_FULL[tag].match(html, cm.start())
+                    if fm is None:
+                        raise ValueError("bogus end tag in CDATA")
                 stop = cm.start() if cm else n
                 if stop > pos:
                     node.append(html[pos:stop])        # raw: no unescape
                 if cm is None:
                     break
-                node_close = html.find(">", stop)
-                pos = n if node_close < 0 else node_close + 1
+                pos = fm.end()
                 continue
             stack.append(node)
         else:

@@ -94,8 +94,26 @@ def politeness_throttle_stream(
         # sort so admission order is the batch-global deterministic
         # order, not chunk-local
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        eser = (pdf[ecol].astype("int64") if ecol is not None
-                else pd.Series(np.zeros(len(pdf), dtype="int64")))
+        if ecol is not None:
+            raw = pdf[ecol]
+            if raw.isna().any():
+                # a NULL epoch would make astype('int64') throw inside
+                # the stateful UDF and fail the whole streaming query —
+                # reject the row set loudly with an actionable message
+                raise ValueError(
+                    f"politeness_throttle_stream: NULL in epoch column "
+                    f"{ecol!r} for domain {key[0]!r}; fill or filter "
+                    f"epochs upstream")
+            eser = raw.astype("int64")
+            if (eser < 0).any():
+                # negative epochs collide with the _NO_EPOCH sentinel
+                # (-1): such rows would be silently deferred forever
+                raise ValueError(
+                    f"politeness_throttle_stream: epoch column {ecol!r} "
+                    f"must be >= 0 (sentinel {_NO_EPOCH} is reserved); "
+                    f"got min {int(eser.min())} for domain {key[0]!r}")
+        else:
+            eser = pd.Series(np.zeros(len(pdf), dtype="int64"))
         pdf = (pdf.assign(__epoch=eser.to_numpy())
                .sort_values(["__epoch", "priority", "url_canon"],
                             ascending=[True, False, True])

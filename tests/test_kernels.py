@@ -257,6 +257,28 @@ def test_fast_parser_differential():
     ]
     for s in snippets:
         assert ser(_fast_parse(s)) == ser(parse_html_reference(s)), s
+    # malformed markup where the fast tokenizer must *fall back* (raise
+    # ValueError) rather than silently diverge from the stdlib builder
+    # (ADVICE r03): whitespace end tags, '</>', bogus end tags inside
+    # CDATA, unterminated comments containing '>'
+    from siren_spark.htmlmini import parse_html
+    malformed = [
+        "<div></ div>x</div>",                  # stdlib endtagfind closes
+        "<p></>x</p>",                          # stdlib drops '</>'
+        "<script>a</scripty>b</script><p>c</p>",  # stays in CDATA
+        "<script>a</script foo>b</script><p>c</p>",
+        "<style>a</styled>b</style>ok",
+        "<!-- foo > bar",                       # unterminated comment
+        "<p>a</p><!-- x > y",                   # ... after real content
+        "<!-->x",                               # comment-open, no close
+        "<!--->x",
+        "<p><!-- a -- >x",                      # '-- >' IS a stdlib close
+        "<div></di/v>x</div>",                  # bogus name: closes 'di'
+        "<div></div class='x'>y",               # end tag with attrs
+        "<p></p ></p>",
+    ]
+    for s in malformed:
+        assert ser(parse_html(s)) == ser(parse_html_reference(s)), s
     site = build_site(SiteSpec())
     for p in site.pages:
         body = p["html"].decode("utf-8", errors="replace")

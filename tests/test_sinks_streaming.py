@@ -253,3 +253,38 @@ def test_politeness_throttle_epoch_rollover(spark, tmp_path):
     # epoch column round-trips
     assert {(r.url_canon, r.epoch) for r in rows if r.url_canon in "ai"} \
         == {("a", 0), ("i", 0)}
+
+
+def test_politeness_throttle_rejects_bad_epochs(spark, tmp_path):
+    """A NULL or negative epoch must fail the stream with an actionable
+    error (ADVICE r03): NULL would otherwise crash astype('int64') deep
+    in the stateful UDF, and a negative epoch collides with the -1
+    no-epoch sentinel and would be silently deferred forever."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from siren_spark.streaming.politeness_state import run_throttle_query
+
+    schema = StructType([
+        StructField("domain", StringType()),
+        StructField("url_canon", StringType()),
+        StructField("priority", DoubleType()),
+        StructField("epoch", LongType()),
+    ])
+    for name, bad_epoch, frag in (("null", None, "NULL in epoch column"),
+                                  ("neg", -3, "must be >= 0")):
+        src = str(tmp_path / f"src_{name}")
+        spark.createDataFrame(
+            [("h.example", "a", 0.9, bad_epoch)], schema,
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        links = (spark.readStream.schema(schema)
+                 .format("parquet").load(src))
+        q = run_throttle_query(
+            links, str(tmp_path / f"out_{name}"),
+            str(tmp_path / f"ck_{name}"),
+            budget_per_host=2, epoch_col="epoch")
+        with pytest.raises(StreamingQueryException, match=frag):
+            q.awaitTermination(120)
