@@ -965,9 +965,13 @@ def _q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "url", "title",
             F.col("gen").cast("long").alias("gen"))
         # materialize before the checkpoint dir is removed — the result
-        # frame otherwise reads the deleted parquet lazily
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # frame otherwise reads the deleted parquet lazily. Distributed
+        # write + lazy read-back (never a collect of a result frame:
+        # the same discipline the engine itself follows — a real crawl's
+        # results would not fit on any driver)
+        stable = tempfile.mkdtemp(prefix="entry_crawl_out_")
+        out.write.mode("overwrite").parquet(f"{stable}/results")
+        return spark.read.parquet(f"{stable}/results")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 

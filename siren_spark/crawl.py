@@ -191,7 +191,7 @@ def _annotate_round(
     frontier: DataFrame,
     *,
     cfg: CrawlConfig,
-    matcher: RobotsMatcher | None,
+    matcher_bc=None,
     robots_df: DataFrame | None = None,
     bloom: BloomFilter | None,
     bloom_bitmaps: DataFrame | None = None,
@@ -208,9 +208,12 @@ def _annotate_round(
         # million-domain robots path)
         from siren_spark.operators.robots import robots_annotate_cogroup
         df = robots_annotate_cogroup(df, robots_df)
-    elif matcher is not None:
-        # broadcast matcher, vectorized batch gate
-        bc = spark.sparkContext.broadcast(matcher)
+    elif matcher_bc is not None:
+        # matcher broadcast ONCE by run_crawl (it is constant across the
+        # run — re-broadcasting per round would pay a driver-side pickle
+        # + transfer on every one of thousands of rounds, pure serial
+        # per-round cost); here we only reference the handle
+        bc = matcher_bc
 
         @F.pandas_udf("boolean")
         def allowed_udf(domains: pd.Series, urls: pd.Series) -> pd.Series:
@@ -571,6 +574,12 @@ def run_crawl(
         else:
             matcher = RobotsMatcher(
                 [(r["domain"], r["rules"]) for r in robots.collect()])
+    # broadcast the compiled matcher ONCE for the whole run — it is
+    # constant across rounds, and a per-round broadcast would re-pickle
+    # and re-ship it thousands of times (serial cost every cluster size
+    # pays, i.e. exactly the term the N->4N scaling ratio punishes)
+    matcher_bc = (spark.sparkContext.broadcast(matcher)
+                  if matcher is not None else None)
 
     bloom: BloomFilter | None = None
     bloom_bitmaps: DataFrame | None = None   # bucketed-probe bitmap table
@@ -620,7 +629,7 @@ def run_crawl(
 
         # ---- job 1: annotate + commit scheduling decisions -------------
         caches: list = []
-        ann = _annotate_round(frontier, cfg=cfg, matcher=matcher,
+        ann = _annotate_round(frontier, cfg=cfg, matcher_bc=matcher_bc,
                               robots_df=robots_df,
                               bloom=bloom, bloom_bitmaps=bloom_bitmaps,
                               seen_exact=seen_exact,
@@ -807,6 +816,10 @@ def run_crawl(
                 n_by_status.get("deferred", 0) == 0:
             break
 
+    if matcher_bc is not None:
+        # returned frames are all parquet-backed (no live plan holds the
+        # gate UDF), so the broadcast can be released eagerly
+        matcher_bc.unpersist()
     last = store.latest_gen()
     return CrawlResult(
         rounds=(last + 1 if last is not None else 0),

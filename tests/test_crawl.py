@@ -139,8 +139,14 @@ def test_bloom_equals_exact(spark, site, tmp_path, engine):
     assert a == b
 
 
-def test_robots_gating(spark, site, tmp_path):
-    """block-all domain yields zero fetches; path-prefix rules enforced."""
+def test_robots_gating(spark, site, tmp_path, monkeypatch):
+    """block-all domain yields zero fetches; path-prefix rules enforced.
+
+    Also pins (spy) that the compiled matcher is broadcast exactly ONCE
+    for the whole run, not re-pickled+re-shipped every round — at
+    thousands of rounds a per-round broadcast is pure serial cost."""
+    from siren_spark.operators.robots import RobotsMatcher
+
     robots = spark.createDataFrame(
         [("mirror-city.example", "User-agent: *\nDisallow: /\n")],
         "domain string, rules string",
@@ -148,9 +154,17 @@ def test_robots_gating(spark, site, tmp_path):
     cfg = CrawlConfig(budget_per_host=BUDGET, window_start=WINDOW_START,
                       window_end=WINDOW_END, keywords=SPEC.keywords,
                       use_bloom=False, max_rounds=3)
+    matcher_broadcasts = []
+    real_broadcast = spark.sparkContext.broadcast
+    monkeypatch.setattr(
+        spark.sparkContext, "broadcast",
+        lambda v: (matcher_broadcasts.append(v)
+                   if isinstance(v, RobotsMatcher) else None,
+                   real_broadcast(v))[1])
     res = run_crawl(spark, pages_df(spark, site.pages),
                     seeds_df(spark, site.seeds), cfg, str(tmp_path / "ck4"),
                     robots=robots)
+    assert len(matcher_broadcasts) == 1
     mirror_fetched = (
         res.counters.filter((F.col("metric") == "fetched")
                             & (F.col("domain") == "mirror-city.example"))
