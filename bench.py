@@ -239,7 +239,10 @@ def main() -> None:
     queries = _sub(["--phase", "queries"])
     # the bench web is a pure function of (N_INDEX, LINKS, WAVES) — reuse
     marker = os.path.join(BENCH_DATA, "marker.json")
-    want = {"n_index": N_INDEX, "links": LINKS, "waves": WAVES}
+    # codec in the params: the round-4 zstd switch must invalidate webs
+    # generated as snappy (scan scaling characteristics differ)
+    want = {"n_index": N_INDEX, "links": LINKS, "waves": WAVES,
+            "codec": "zstd", "layout": "interleaved"}
     gen = None
     if os.path.exists(marker):
         with open(marker) as f:

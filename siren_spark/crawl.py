@@ -92,6 +92,25 @@ class CrawlConfig:
     # compact the seen-set sources once more than this many tables back
     # it (keeps every round's seen read at O(1) inputs, not O(rounds))
     seen_compact_every: int = 8
+    # pipeline consecutive rounds: round N+1's annotate depends only on
+    # round N's STAGED tables (extracted links + annotated frontier) and
+    # the Bloom delta — not on the results/counters/frontier writes — so
+    # it runs concurrently with them in the derived-writes window,
+    # taking the ~flat annotate latency off the round critical path at
+    # every cluster size. Disabled automatically in bucketed-bloom mode
+    # (the bitmap table commits after the writes) and safe under kills:
+    # a pre-staged next-round table is uncommitted, and resume rebuilds
+    # it from the same deterministic inputs.
+    pipeline_rounds: bool = True
+    # exact-confirm strategy for maybe-seen (Bloom-positive) rows:
+    # 'broadcast' inverts the join — the maybe-sliver keys broadcast
+    # INTO the seen scan (left-semi) and only the tiny hit-set comes
+    # back, so the O(crawl-history) seen table streams out of parquet
+    # with no shuffle and the frontier never splits; 'join' keeps the
+    # definite/candidate split with a sort-merge confirm (the
+    # arbitrarily-large-frontier path); 'auto' broadcasts while the
+    # frontier row estimate stays under broadcast_fetch_max
+    seen_confirm: str = "auto"
     # enrich results with a detected-language column (trigram-profile
     # classifier, functions/langid.py) — the production-shaped LLM-data
     # path; off by default to keep the reference result schema exact
@@ -197,8 +216,13 @@ def _annotate_round(
     bloom_bitmaps: DataFrame | None = None,
     seen_exact: DataFrame | None,
     cache_registry: list | None = None,
+    frontier_rows: int | None = None,
 ) -> DataFrame:
-    """One plan: robots -> dedup -> seen -> politeness, as a status column."""
+    """One plan: robots -> dedup -> seen -> politeness, as a status column.
+
+    ``frontier_rows`` is the driver's (free, observation-derived)
+    estimate of this round's frontier size, used only to pick the
+    seen-confirm join strategy under ``cfg.seen_confirm='auto'``."""
     spark = frontier.sparkSession
     df = frontier
 
@@ -225,97 +249,198 @@ def _annotate_round(
     else:
         df = df.withColumn("__allowed", F.lit(True))
 
-    # in-frontier dedup among allowed rows (deterministic representative;
-    # blocked rows sink so a blocked duplicate never steals rank 1)
-    w_dup = Window.partitionBy("url_canon").orderBy(
-        F.desc("__allowed"), F.desc("priority"), F.asc("depth"),
-        F.asc_nulls_first("via"), F.asc("url"),
-    )
-    df = df.withColumn("__rn_dup", F.row_number().over(w_dup))
+    df = df.withColumn(
+        "__salt", F.pmod(F.xxhash64("url_canon"), F.lit(cfg.salt_buckets)))
 
-    # seen probe: Bloom negatives skip the join; maybe-seen rows exact-confirm
-    if seen_exact is not None:
+    bucketed = (seen_exact is not None and cfg.use_bloom
+                and bloom_bitmaps is not None)
+    bloom_bcast = (seen_exact is not None and cfg.use_bloom
+                   and not bucketed and bloom is not None)
+    plain_seen_join = seen_exact is not None and not bucketed \
+        and not bloom_bcast
+
+    # --- bucketed Bloom probe FIRST (it cogroups by bloom bucket, i.e.
+    # repartitions the frontier) so the dup/politeness exchange below is
+    # the LAST partitioning and phase-1 can reuse it -------------------
+    if bucketed:
+        # each task cogroups with exactly its bucket's bitmap — no
+        # executor ever holds the full filter
+        from siren_spark.operators.seen import probe_bloom_bucketed
+        df = probe_bloom_bucketed(
+            df, bloom_bitmaps, "url_canon",
+            bits_per_bucket=cfg.bloom_bits, buckets=cfg.bloom_buckets)
+
+    # --- broadcast-Bloom maybe-probe BEFORE the dup window (not after):
+    # EvalPython nodes do not propagate outputPartitioning, so a probe
+    # UDF sitting between the fused window and its downstream consumers
+    # would hide the (domain, __salt) partitioning and force politeness
+    # phase 1 to re-exchange the whole frontier — the exact shuffle the
+    # fusion exists to remove. Probing first keeps the WindowExec as
+    # the cached plan's tail, whose partitioning the cache reports.
+    if (seen_exact is not None and cfg.use_bloom and not bucketed
+            and bloom is not None):
+        bcb = spark.sparkContext.broadcast(bloom)
+
+        @F.pandas_udf("boolean")
+        def maybe_udf(h1: pd.Series, h2: pd.Series) -> pd.Series:
+            import numpy as np
+            f = bcb.value
+            return pd.Series(f.might_contain_np(
+                h1.to_numpy(dtype="int64"), h2.to_numpy(dtype="int64")))
+
+        from siren_spark.operators.seen import _SEED2
+        df = df.withColumn("__maybe", maybe_udf(
+            F.xxhash64(F.col("url_canon")),
+            F.xxhash64(F.col("url_canon"), F.lit(_SEED2))))
+
+    # --- in-frontier dedup, FUSED into the politeness partition family:
+    # domain and __salt are both functions of url_canon, so a url_canon
+    # group lives entirely inside one (domain, __salt) partition and the
+    # deterministic representative (first row by the dup order, blocked
+    # rows sinking so a blocked duplicate never steals the spot) is a
+    # lag()-based first-flag over a url_canon-leading sort. One exchange
+    # then serves dedup AND politeness phase 1 — the three-window
+    # annotate plan was 3 full-frontier shuffles, flat ~5 s/round cost
+    # that the N->4N ratio paid at every cluster size. (Exception: the
+    # no-bloom exact-seen path keeps the url_canon window so the seen
+    # SMJ below reuses ITS exchange instead.)
+    dup_order = [F.desc("__allowed"), F.desc("priority"), F.asc("depth"),
+                 F.asc_nulls_first("via"), F.asc("url")]
+    dup_part = ["url_canon"] if plain_seen_join else ["domain", "__salt"]
+    w_dup = Window.partitionBy(*dup_part).orderBy(F.asc("url_canon"),
+                                                  *dup_order)
+    df = df.withColumn(
+        "__first",
+        F.coalesce(F.lag("url_canon").over(w_dup) != F.col("url_canon"),
+                   F.lit(True)))
+
+    # --- seen confirm: Bloom negatives skip it entirely; maybe-seen
+    # rows exact-confirm against the seen set --------------------------
+    if bucketed or bloom_bcast:
+        # df is consumed multiple times below (confirm sliver + eligible
+        # count + final status): persist the small flag-annotated frame
+        # so the upstream (gate UDF + window + probe) runs once
+        df = df.persist()
+        if cache_registry is not None:
+            cache_registry.append(df)
+        bcast_confirm = (
+            cfg.seen_confirm == "broadcast"
+            or (cfg.seen_confirm == "auto"
+                and frontier_rows is not None
+                and frontier_rows <= cfg.broadcast_fetch_max))
+        if bcast_confirm:
+            # INVERTED confirm: broadcast the maybe-sliver keys into the
+            # seen scan (left-semi) and the tiny hit-set back onto the
+            # frontier. The (big, O(crawl-history)) seen table streams
+            # straight out of parquet with NO shuffle — the old
+            # definite/candidate split-union sort-merge-joined the
+            # full seen set every round — and both broadcast joins
+            # preserve the frontier's (domain, __salt) partitioning so
+            # politeness phase 1 needs no re-exchange.
+            # no distinct on the sliver: duplicate build keys are free
+            # in a semi-join hash set. hits IS distinct()ed — a
+            # duplicate url_canon there would duplicate frontier rows
+            # in the left join (the seen set is unique by invariant,
+            # but this guard is one tiny-frame shuffle)
+            cand = df.filter(F.col("__maybe")).select("url_canon")
+            hits = (seen_exact.select("url_canon")
+                    .join(F.broadcast(cand), "url_canon", "leftsemi")
+                    .distinct()
+                    .withColumn("__hit", F.lit(True)))
+            df = (df.join(F.broadcast(hits), "url_canon", "left")
+                  .withColumn("__seen",
+                              F.col("__maybe")
+                              & F.coalesce(F.col("__hit"), F.lit(False)))
+                  .drop("__hit", "__maybe"))
+        else:
+            # at-scale confirm (frontier too large to broadcast its
+            # sliver): classic definite/candidate split, SMJ on the
+            # sliver only
+            seen_keys = seen_exact.select("url_canon").withColumn(
+                "__hit", F.lit(True))
+            definite = df.filter(~F.col("__maybe")).withColumn(
+                "__seen", F.lit(False))
+            candidates = (
+                df.filter(F.col("__maybe"))
+                .join(seen_keys, "url_canon", "left")
+                .withColumn("__seen",
+                            F.coalesce(F.col("__hit"), F.lit(False)))
+                .drop("__hit"))
+            df = (definite.drop("__maybe")
+                  .unionByName(candidates.drop("__maybe")))
+            df = df.persist()
+            if cache_registry is not None:
+                cache_registry.append(df)
+    elif plain_seen_join:
         seen_keys = seen_exact.select("url_canon").withColumn(
             "__hit", F.lit(True))
-        if bloom_bitmaps is not None and cfg.use_bloom:
-            # bucketed probe: each task cogroups with exactly its
-            # bucket's bitmap — no executor ever holds the full filter
-            from siren_spark.operators.seen import probe_bloom_bucketed
-            df = probe_bloom_bucketed(
-                df, bloom_bitmaps, "url_canon",
-                bits_per_bucket=cfg.bloom_bits, buckets=cfg.bloom_buckets)
-            df = df.persist()
-            if cache_registry is not None:
-                cache_registry.append(df)
-            definite = df.filter(~F.col("__maybe")).withColumn(
-                "__seen", F.lit(False))
-            candidates = (
-                df.filter(F.col("__maybe"))
-                .join(seen_keys, "url_canon", "left")
-                .withColumn("__seen", F.coalesce(F.col("__hit"), F.lit(False)))
-                .drop("__hit")
-            )
-            df = definite.drop("__maybe").unionByName(candidates.drop("__maybe"))
-        elif bloom is not None and cfg.use_bloom:
-            bcb = spark.sparkContext.broadcast(bloom)
-
-            @F.pandas_udf("boolean")
-            def maybe_udf(h1: pd.Series, h2: pd.Series) -> pd.Series:
-                import numpy as np
-                f = bcb.value
-                return pd.Series(f.might_contain_np(
-                    h1.to_numpy(dtype="int64"), h2.to_numpy(dtype="int64")))
-
-            from siren_spark.operators.seen import _SEED2
-            df = df.withColumn("__maybe", maybe_udf(
-                F.xxhash64(F.col("url_canon")),
-                F.xxhash64(F.col("url_canon"), F.lit(_SEED2))))
-            # the definite/candidate split consumes df twice; without a
-            # cache the whole upstream (canonicalize UDF + dedup window +
-            # bloom probe) is computed twice — persist the small frame
-            df = df.persist()
-            if cache_registry is not None:
-                cache_registry.append(df)
-            definite = df.filter(~F.col("__maybe")).withColumn(
-                "__seen", F.lit(False))
-            candidates = (
-                df.filter(F.col("__maybe"))
-                .join(seen_keys, "url_canon", "left")
-                .withColumn("__seen", F.coalesce(F.col("__hit"), F.lit(False)))
-                .drop("__hit")
-            )
-            df = definite.drop("__maybe").unionByName(candidates.drop("__maybe"))
-        else:
-            df = (df.join(seen_keys, "url_canon", "left")
-                  .withColumn("__seen", F.coalesce(F.col("__hit"), F.lit(False)))
-                  .drop("__hit"))
+        df = (df.join(seen_keys, "url_canon", "left")
+              .withColumn("__seen", F.coalesce(F.col("__hit"), F.lit(False)))
+              .drop("__hit"))
+        df = df.persist()
+        if cache_registry is not None:
+            cache_registry.append(df)
     else:
         df = df.withColumn("__seen", F.lit(False))
+        df = df.persist()
+        if cache_registry is not None:
+            cache_registry.append(df)
 
     df = df.withColumn(
         "__eligible",
-        F.col("__allowed") & (F.col("__rn_dup") == 1) & ~F.col("__seen"),
+        F.col("__allowed") & F.col("__first") & ~F.col("__seen"),
     )
 
-    # politeness: salted two-phase per-host top-k. Phase 1 bounds any
-    # domain's phase-2 window input to salt_buckets*budget rows, so one
-    # hot host (30%+ of a web frontier) cannot funnel through one task.
-    order = [F.desc("__eligible"), F.desc("priority"), F.asc("url_canon")]
-    df = df.withColumn("__salt",
-                       F.pmod(F.xxhash64("url_canon"), F.lit(cfg.salt_buckets)))
-    w1 = Window.partitionBy("domain", "__salt").orderBy(*order)
-    df = df.withColumn("__rn1", F.row_number().over(w1))
-    df = df.withColumn("__surv",
-                       F.col("__eligible") & (F.col("__rn1") <= cfg.budget_per_host))
-    w2 = Window.partitionBy("domain").orderBy(
-        F.desc("__surv"), F.desc("priority"), F.asc("url_canon"))
-    df = df.withColumn("__rn2", F.row_number().over(w2))
+    # --- politeness: salted two-phase per-host top-k, SPLIT-UNION -----
+    # Only domains whose eligible count exceeds the budget need ranking
+    # at all: for an under-budget domain every eligible row is provably
+    # scheduled (phase-1 rank <= per-bucket eligible count <= budget,
+    # and phase 2 ranks all survivors within the budget), so those rows
+    # bypass both windows. The over-budget set is found with one
+    # map-side-combined count and broadcast back; on a web frontier hot
+    # hosts are few, so phase 2's full-domain sort — previously a
+    # whole-frontier exchange — now moves only the hot sliver. Phase 1
+    # bounds any hot domain's phase-2 window input to
+    # salt_buckets*budget rows, so one hot host (30%+ of a web
+    # frontier) cannot funnel through one task.
+    out_cols = [*FRONTIER_COLS, "__allowed", "__first", "__seen", "__sched"]
+    if frontier_rows is not None and frontier_rows <= cfg.budget_per_host:
+        # whole-frontier fast path: the frontier row count (exact — it
+        # is last round's observed links+deferred) cannot exceed the
+        # budget, so no domain can either: every eligible row is
+        # provably scheduled and the count/join/window machinery would
+        # compute a constant — skip it all (throughput-mode rounds and
+        # the long tail of small rounds hit this)
+        df = df.withColumn("__sched", F.col("__eligible")).select(*out_cols)
+    else:
+        hot = (df.filter(F.col("__eligible"))
+               .groupBy("domain").agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > cfg.budget_per_host)
+               .select("domain").withColumn("__hot", F.lit(True)))
+        df = df.join(F.broadcast(hot), "domain", "left")
+
+        cold = df.filter(F.col("__hot").isNull()).withColumn(
+            "__sched", F.col("__eligible"))
+        hotr = df.filter(F.col("__hot").isNotNull())
+        order = [F.desc("__eligible"), F.desc("priority"),
+                 F.asc("url_canon")]
+        w1 = Window.partitionBy("domain", "__salt").orderBy(*order)
+        hotr = hotr.withColumn("__rn1", F.row_number().over(w1))
+        hotr = hotr.withColumn(
+            "__surv",
+            F.col("__eligible") & (F.col("__rn1") <= cfg.budget_per_host))
+        w2 = Window.partitionBy("domain").orderBy(
+            F.desc("__surv"), F.desc("priority"), F.asc("url_canon"))
+        hotr = hotr.withColumn("__rn2", F.row_number().over(w2))
+        hotr = hotr.withColumn(
+            "__sched",
+            F.col("__surv") & (F.col("__rn2") <= cfg.budget_per_host))
+        df = cold.select(*out_cols).unionByName(hotr.select(*out_cols))
 
     status = (
         F.when(~F.col("__allowed"), F.lit("blocked"))
-        .when((F.col("__rn_dup") > 1) | F.col("__seen"), F.lit("deduped"))
-        .when(F.col("__surv") & (F.col("__rn2") <= cfg.budget_per_host),
-              F.lit("scheduled"))
+        .when(~F.col("__first") | F.col("__seen"), F.lit("deduped"))
+        .when(F.col("__sched"), F.lit("scheduled"))
         .otherwise(F.lit("deferred"))
     )
     # partition_id = physical lineage (which task decided this row's
@@ -617,6 +742,12 @@ def run_crawl(
         start_gen = 0
         frontier = _seeds_to_frontier(seeds)
 
+    # frontier size estimate for the seen-confirm strategy: free from
+    # each round's observations (links + deferred); on resume one cheap
+    # parquet count (row-group stats, no scan of column data)
+    frontier_rows: int | None = (frontier.count() if resume
+                                 and start_gen > 0 else None)
+
     def _log(msg: str) -> None:
         if cfg.verbose:
             print(f"[crawl] {msg}", flush=True)
@@ -624,31 +755,71 @@ def run_crawl(
     round_secs: list[float] = []
     round_urls: list[int] = []
 
+    def _stage_annotated(gen_: int, frontier_: DataFrame,
+                         bloom_: BloomFilter | None,
+                         seen_: DataFrame | None,
+                         frontier_rows_: int | None) -> tuple[str, dict]:
+        """Annotate one round's frontier and stage it; returns
+        (path, by-status counts). Pure function of committed/staged
+        inputs, so it can run from a worker thread (round pipelining)
+        or inline — byte-identical either way."""
+        caches: list = []
+        ann = _annotate_round(frontier_, cfg=cfg, matcher_bc=matcher_bc,
+                              robots_df=robots_df,
+                              bloom=bloom_, bloom_bitmaps=bloom_bitmaps,
+                              seen_exact=seen_,
+                              cache_registry=caches,
+                              frontier_rows=frontier_rows_)
+        # per-status counts ride the write as Observation metrics — no
+        # second job over the staged parquet (part of the per-round
+        # fixed cost the N->4N scaling comparison pays at every level)
+        ann_obs = Observation(f"ann_{gen_}")
+        ann = ann.observe(ann_obs, *[
+            F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+            for s in ("blocked", "deduped", "scheduled", "deferred")])
+        path = store.stage_table(gen_, "frontier_ann", ann)
+        for c in caches:
+            c.unpersist()
+        return path, {k: int(v) for k, v in ann_obs.get.items() if v}
+
+    # pre-staged next-round annotate: {"gen", "path", "counts"}
+    pending: dict | None = None
+    # one pool for the whole run: Bloom-delta builds launch right after
+    # annotate (overlapping fetch+extract), derived writes + the
+    # pipelined next-round annotate overlap at round end, and the commit
+    # overlaps the pipelined annotate's tail
+    pool = ThreadPoolExecutor(max_workers=5)
+    # no try/finally: on the normal path the pool is shut down before
+    # returning; on an exception the executor's (idle) threads are
+    # reclaimed at GC/interpreter exit — any in-flight pre-stage write
+    # lands in an uncommitted gen dir that resume cleans up
+
     for gen in range(start_gen, cfg.max_rounds):
         t0 = time.time()
 
         # ---- job 1: annotate + commit scheduling decisions -------------
-        caches: list = []
-        ann = _annotate_round(frontier, cfg=cfg, matcher_bc=matcher_bc,
-                              robots_df=robots_df,
-                              bloom=bloom, bloom_bitmaps=bloom_bitmaps,
-                              seen_exact=seen_exact,
-                              cache_registry=caches)
-        # per-status counts ride the write as Observation metrics — no
-        # second job over the staged parquet (part of the per-round
-        # fixed cost the N->4N scaling comparison pays at every level)
-        ann_obs = Observation(f"ann_{gen}")
-        ann = ann.observe(ann_obs, *[
-            F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
-            for s in ("blocked", "deduped", "scheduled", "deferred")])
-        ann_path = store.stage_table(gen, "frontier_ann", ann)
-        for c in caches:
-            c.unpersist()
+        if pending is not None and pending["gen"] == gen:
+            # staged concurrently with the previous round's derived
+            # writes (pipeline_rounds) — already durable in the gen dir
+            ann_path, n_by_status = pending["path"], pending["counts"]
+            pending = None
+        else:
+            ann_path, n_by_status = _stage_annotated(
+                gen, frontier, bloom, seen_exact, frontier_rows)
         ann_r = spark.read.parquet(ann_path)
-        n_by_status = {k: int(v) for k, v in ann_obs.get.items() if v}
         _log(f"gen {gen} annotate {time.time()-t0:.1f}s {n_by_status}")
         if not n_by_status:   # empty frontier -> done (no round committed)
             break
+
+        # the Bloom delta depends only on the (already staged) annotated
+        # frontier — kick its build off NOW so it overlaps the long
+        # fetch+extract stage instead of serializing ahead of the
+        # pipelined next-round annotate in the writes window
+        bloom_fut = None
+        if cfg.use_bloom and not bucketed:
+            delta_r = (ann_r.filter(F.col("status") == "scheduled")
+                       .select("url_canon"))
+            bloom_fut = pool.submit(_build_delta_bloom, delta_r)
 
         sched = ann_r.filter(F.col("status") == "scheduled")
 
@@ -677,9 +848,19 @@ def run_crawl(
                 F.when(F.length(proj) > 0, proj.cast("binary"))
                  .otherwise(F.col("html")).alias("html"),
                 "meta")
+        # the discovered-link count rides the write as an Observation:
+        # links + this round's deferred = next round's frontier size,
+        # the (free) estimate the seen-confirm strategy keys on
+        ex_obs = Observation(f"ex_{gen}")
         extracted_path = store.stage_table(
-            gen, "extracted", extract_pages(fetch_in))
+            gen, "extracted",
+            extract_pages(fetch_in).observe(
+                ex_obs,
+                F.sum(F.when(F.col("kind") == "link", 1)
+                      .otherwise(0)).alias("links")))
         ex = spark.read.parquet(extracted_path)
+        frontier_rows = (int(ex_obs.get["links"] or 0)
+                         + int(n_by_status.get("deferred", 0)))
         _log(f"gen {gen} fetch+extract {time.time()-t1:.1f}s")
 
         # ---- cheap derivations from the two committed tables ------------
@@ -728,17 +909,40 @@ def run_crawl(
         # Per-round serial cost is exactly what the N->4N scaling
         # comparison pays at every cluster size.
         tw = time.time()
-        bloom_fut = None
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futs = {name: pool.submit(store.stage_table, gen, name, df)
-                    for name, df in (("frontier", next_frontier),
-                                     ("results", results_round),
-                                     ("counters", counters_df))}
-            if cfg.use_bloom and not bucketed:
-                delta_r = (ann_r.filter(F.col("status") == "scheduled")
-                           .select("url_canon"))
-                bloom_fut = pool.submit(_build_delta_bloom, delta_r)
-            staged_paths = {name: f.result() for name, f in futs.items()}
+        next_fut = None
+        seen_sources_next = seen_sources + [{"path": ann_path,
+                                             "kind": "ann"}]
+
+        def _prestage_next() -> dict | None:
+            """Round gen+1's annotate, overlapped with this round's
+            derived writes (they are independent: it reads only the two
+            staged tables + the Bloom delta). Any failure falls back to
+            inline annotation next round — pipelining is an overlap,
+            never a correctness dependency."""
+            try:
+                merged = bloom
+                if bloom_fut is not None:
+                    merged = merge_blooms(bloom, bloom_fut.result())
+                nf = links.unionByName(
+                    ann_r.filter(F.col("status") == "deferred")
+                    .select(*FRONTIER_COLS))
+                seen_next = _seen_df(spark, seen_sources_next)
+                path, counts = _stage_annotated(
+                    gen + 1, nf, merged, seen_next, frontier_rows)
+                return {"gen": gen + 1, "path": path, "counts": counts}
+            except Exception as e:       # noqa: BLE001
+                _log(f"gen {gen}   prestage next-round annotate "
+                     f"failed ({e!r}); will annotate inline")
+                return None
+
+        futs = {name: pool.submit(store.stage_table, gen, name, df)
+                for name, df in (("frontier", next_frontier),
+                                 ("results", results_round),
+                                 ("counters", counters_df))}
+        if cfg.pipeline_rounds and not bucketed \
+                and gen + 1 < cfg.max_rounds:
+            next_fut = pool.submit(_prestage_next)
+        staged_paths = {name: f.result() for name, f in futs.items()}
         _log(f"gen {gen}   write frontier|results|counters "
              f"{time.time()-tw:.1f}s")
         for c in cnt_caches:
@@ -750,7 +954,7 @@ def run_crawl(
         # url_canon-only write, amortized O(1) per round)
         staged_tables = ["frontier_ann", "extracted", "frontier", "results",
                          "counters"]
-        seen_sources = seen_sources + [{"path": ann_path, "kind": "ann"}]
+        seen_sources = seen_sources_next
         if len(seen_sources) > cfg.seen_compact_every:
             tw = time.time()
             compact_path = store.stage_table(
@@ -795,19 +999,27 @@ def run_crawl(
         store.write_round(
             gen, {}, stats=stats,
             staged={n: f"{store._gen_dir(gen)}/{n}" for n in staged_tables})
+        # roll forward from committed state
+        frontier = store.read(spark, gen, "frontier")
+        seen_exact = _seen_df(spark, seen_sources)
+        if bloom_fut is not None:
+            # the delta filter was built concurrently with fetch+extract;
+            # only the (numpy, driver-side, ~ms) OR-merge is left
+            bloom = merge_blooms(bloom, bloom_fut.result())
+        if next_fut is not None:
+            # next round's annotate was staged concurrently with this
+            # round's writes + commit (None if it failed -> annotate
+            # inline)
+            pending = next_fut.result()
+
+        # the round timer closes only after every overlapped task the
+        # round started has landed — steady-state throughput must not
+        # hide pipelined work in the gap between timers
         _log(f"gen {gen} commit {time.time()-t2:.1f}s "
              f"total {time.time()-t0:.1f}s")
         round_secs.append(time.time() - t0)
         n_rec = int(cnt_obs.get["n_rec"] or 0)
         round_urls.append(int(n_by_status.get("scheduled", 0)) + n_rec)
-
-        # roll forward from committed state
-        frontier = store.read(spark, gen, "frontier")
-        seen_exact = _seen_df(spark, seen_sources)
-        if bloom_fut is not None:
-            # the delta filter was built concurrently with the staged
-            # writes; only the (numpy, driver-side, ~ms) OR-merge is left
-            bloom = merge_blooms(bloom, bloom_fut.result())
 
         if fail_after_round is not None and gen >= fail_after_round:
             raise RuntimeError(f"simulated kill after round {gen}")
@@ -816,6 +1028,7 @@ def run_crawl(
                 n_by_status.get("deferred", 0) == 0:
             break
 
+    pool.shutdown(wait=True)
     if matcher_bc is not None:
         # returned frames are all parquet-backed (no live plan holds the
         # gate UDF), so the broadcast can be released eagerly

@@ -35,6 +35,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        # zstd for every parquet the engine writes (checkpoint round
+        # tables, results, compactions): on repetitive web text it is
+        # ~11x smaller than snappy (248 MB vs 2.7 GB for the 2.4M-page
+        # bench web), and — measured on this host — turns the html scan
+        # from memory-bandwidth/kernel-bound (2->8 efficiency 0.64)
+        # into CPU-bound (≥1.0) at 2x the 8-core speed. At 100 TB the
+        # footprint alone decides this.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")

@@ -32,6 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from siren_spark.urls import canonicalize_url
 
@@ -164,8 +165,19 @@ def gen_bench_pages(
             })
 
     total = n_index + n_articles
+    # interleave page kinds across output files: a contiguous range
+    # would put every index page (whose extraction carries the whole
+    # 300-link fan-out + canonicalization) into ONE file, so a handful
+    # of scan tasks would own all the link work while other cores idle
+    # — measured 17 s of straggler tail per 8-core round. Real page
+    # stores (WARC segments, crawl-ordered Iceberg) interleave page
+    # kinds naturally; hash-spreading ids reproduces that shape.
+    # sortWithinPartitions keeps the file contents deterministic.
+    ids = (spark.range(0, total, 1, partitions)
+           .repartition(partitions, F.xxhash64("id"))
+           .sortWithinPartitions("id"))
     pages = (
-        spark.range(0, total, 1, partitions)
+        ids
         .mapInPandas(gen, "url string, url_canon string, html binary, text string")
         .selectExpr("url", "url_canon",
                     "timestamp'2022-11-01 00:00:00' as warc_ts",

@@ -112,3 +112,58 @@ def test_bucketed_bloom_or_reduce_shuffles_bitmaps_not_urls(spark):
     p = _plan(reduced)
     tail = p.split("MapInArrow")[-1] if "MapInArrow" in p else p
     assert "url_canon" not in tail, p
+
+
+def test_annotate_single_full_frontier_exchange(spark):
+    """The round-4 annotate restructure (fused dup window + inverted
+    broadcast seen-confirm + politeness split-union) must keep exactly
+    ONE full-frontier shuffle in the plan:
+
+    - the only (domain, __salt) exchange over the whole frontier is the
+      one inside the cached subtree (a second one exists but feeds only
+      the hot-domain sliver filter);
+    - the seen set is never sort-merge-joined in broadcast-confirm mode
+      (it streams into a broadcast-semi probe) — no SortMergeJoin
+      anywhere;
+    - no url_canon-keyed exchange of the frontier (the old dup window)
+      outside tiny broadcast-build subtrees.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    from siren_spark.crawl import (
+        CrawlConfig, _annotate_round, _seeds_to_frontier,
+    )
+    from siren_spark.operators.seen import build_bloom
+
+    seeds = spark.createDataFrame(
+        [(f"https://d{i % 7}.example/p/{i}",) for i in range(500)],
+        "url string")
+    fr = _seeds_to_frontier(seeds)
+    seen = (spark.createDataFrame(
+        [(f"https://d{i % 7}.example/p/{i}",) for i in range(0, 500, 3)],
+        "url string").select(F.col("url").alias("url_canon")))
+    bloom = build_bloom(seen, "url_canon",
+                        bits_per_bucket=1 << 14, buckets=4)
+    cfg = CrawlConfig(budget_per_host=50, use_bloom=True)
+    caches: list = []
+    ann = _annotate_round(fr, cfg=cfg, bloom=bloom, seen_exact=seen,
+                          cache_registry=caches, frontier_rows=500)
+    try:
+        plan = ann._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for c in caches:
+            c.unpersist()
+    assert "SortMergeJoin" not in plan, plan
+    # distinct (domain, __salt) exchanges: 1 in the cache build + 1 on
+    # the hot-domain sliver — never a third
+    ex = re.findall(
+        r"Exchange hashpartitioning\(domain#\d+, __salt#\d+L?, \d+\),"
+        r" [A-Z_]+, \[plan_id=(\d+)\]", plan)
+    assert len(set(ex)) <= 2, plan
+    # and the frontier is cached exactly once (one InMemoryRelation id):
+    # every downstream consumer (confirm sliver, hot count, cold branch,
+    # hot branch) reads the cache, so the scan+gate+window runs once
+    assert "InMemoryRelation" in plan
+    assert "InMemoryTableScan" in plan
