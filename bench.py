@@ -236,13 +236,25 @@ def main() -> None:
             _phase_mpparse()
         return
 
+    # total wall-clock budget: the r3 driver run timed out (rc=124,
+    # nothing recorded) because the protocol volume exceeded the
+    # harness's ceiling — a benchmark that cannot complete inside the
+    # harness that grades it is no benchmark. The planner sizes the
+    # attempt count to the budget (measured pair costs, conservative
+    # reserve) and records what it dropped.
+    budget_s = float(os.environ.get("SIREN_BENCH_BUDGET_S", "2400"))
+    t_start = time.time()
+
+    def remaining() -> float:
+        return budget_s - (time.time() - t_start)
+
     queries = _sub(["--phase", "queries"])
     # the bench web is a pure function of (N_INDEX, LINKS, WAVES) — reuse
     marker = os.path.join(BENCH_DATA, "marker.json")
     # codec in the params: the round-4 zstd switch must invalidate webs
     # generated as snappy (scan scaling characteristics differ)
     want = {"n_index": N_INDEX, "links": LINKS, "waves": WAVES,
-            "codec": "zstd", "layout": "interleaved"}
+            "codec": "zstd", "layout": "interleaved", "dialects": "mirror+toi"}
     gen = None
     if os.path.exists(marker):
         with open(marker) as f:
@@ -261,30 +273,66 @@ def main() -> None:
     # is not part of the N->4N rule. Efficiency is reported for both the
     # best attempts (capability: the least-stolen run per level) and the
     # median attempts (robustness under noise); every attempt is logged.
+    # The budget planner only ever TRUNCATES the symmetric schedule (a
+    # whole lo+hi pair at a time, never one side of a pair) — it cannot
+    # introduce optional-stopping bias because the decision uses only
+    # wall-clock cost, never the measured throughput.
     levels = [int(x) for x in os.environ.get(
         "SIREN_BENCH_CORES", "2,8").split(",")]
-    tries = int(os.environ.get("SIREN_BENCH_TRIES", "3"))
+    tries = int(os.environ.get("SIREN_BENCH_TRIES", "2"))
     tries_32 = int(os.environ.get("SIREN_BENCH_TRIES_32", "1"))
     lo_level, hi_level = min(levels), max(levels)
 
     best: dict[int, dict] = {}
     attempts: dict[int, list] = {n: [] for n in [*levels, 32]}
+    durations: dict[int, float] = {}          # worst observed per level
+    dropped: list[str] = []
 
     def attempt(n: int) -> None:
+        ta = time.time()
         r = _sub(["--phase", "crawl", str(n)])
+        durations[n] = max(durations.get(n, 0.0), time.time() - ta)
         attempts[n].append(r)
         if n not in best or (r.get("steady_urls_per_sec") or 0) > \
                 (best[n].get("steady_urls_per_sec") or 0):
             best[n] = r
 
-    for _i in range(tries):
+    # reserve for the phases that must still run after the interleaved
+    # pairs: one 32-core attempt (~hi-level cost) + the mp-parse
+    # control + margin for JVM startup variance
+    def _reserve() -> float:
+        r = 180.0                                 # mpparse + margin
+        if tries_32 and 32 not in (lo_level, hi_level):
+            r += durations.get(hi_level, 150.0) + 60.0
+        return r
+
+    # pair 1 always runs (no numbers at all is the one unacceptable
+    # outcome); later pairs run only if the measured worst-case pair
+    # cost fits the remaining budget
+    for i in range(tries):
+        if i > 0:
+            pair_cost = (durations.get(lo_level, 0.0)
+                         + durations.get(hi_level, 0.0)) * 1.15
+            if remaining() < pair_cost + _reserve():
+                dropped.append(
+                    f"pair {i + 1}..{tries} (remaining {remaining():.0f}s"
+                    f" < pair {pair_cost:.0f}s + reserve {_reserve():.0f}s)")
+                break
         attempt(lo_level)
         attempt(hi_level)
     for _i in range(tries_32):
-        if 32 not in (lo_level, hi_level):
-            attempt(32)
+        if 32 in (lo_level, hi_level):
+            break
+        if remaining() < durations.get(hi_level, 150.0) + 180.0:
+            dropped.append("32-core attempt (budget)")
+            break
+        attempt(32)
 
-    mp_control = _sub(["--phase", "mpparse"])
+    if remaining() > 60:
+        mp_control = _sub(["--phase", "mpparse"])
+    else:
+        mp_control = None
+        dropped.append("mpparse control (budget)")
 
     def _median(xs: list[float]) -> float | None:
         xs = sorted(x for x in xs if x)
@@ -317,6 +365,12 @@ def main() -> None:
             "waves": gen.get("waves", 1),
             "protocol": {"tries_per_level": tries, "interleaved": True,
                          "tries_32": tries_32,
+                         "completed_tries": {
+                             str(k): len(v) for k, v in attempts.items()
+                             if v},
+                         "budget_s": budget_s,
+                         "elapsed_s": round(time.time() - t_start, 1),
+                         "dropped": dropped,
                          "steady_window_rounds":
                              (best.get(hi_level) or {}).get("steady_rounds")},
             "runs": best,

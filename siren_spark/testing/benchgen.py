@@ -98,6 +98,54 @@ def index_url(i: int, n_domains: int) -> str:
     return f"https://{domain}/getsearchdata.cms?pagenumber={i}&query=crisis"
 
 
+# ---------------------------------------------------------------------------
+# toi strand: a second dialect at bench volume. The mirror pages cover
+# the HTML kernels; these cover the JSON search-API kernel (dispatch by
+# registered domain, F1 page arithmetic incl. the reference's +2
+# over-fetch, and meta carry-forward through Link(dict(meta))). One
+# chain per wave: page 1 is seeded (wave 0) or anchored from the first
+# index page of the previous wave, so its ~wave_size-page fan-out lands
+# in every steady round alongside that wave's articles.
+# ---------------------------------------------------------------------------
+
+TOI_LIMIT = 50  # must match kernels.sites.TOI_LIMIT
+
+
+def toi_url(wave: int, page: int) -> str:
+    return (f"https://toi-epaper.example/api/search?"
+            f"edition=e{wave}&page={page}")
+
+
+def toi_page(wave: int, page: int, toi_pages: int) -> str:
+    """JSON payload for toi chain ``wave``, page ``page`` (1-based).
+
+    totalDocs = TOI_LIMIT * toi_pages, so the kernel's fan-out
+    (pages 2 .. totalDocs//50 + 2, toi.py:190-196) covers every real
+    page plus the reference's two deliberate over-fetch pages — which
+    this generator does NOT emit, so they land as 'missing' counters
+    exactly like the reference's empty trailing pages."""
+    arts = []
+    for s in range(TOI_LIMIT):
+        aid = (wave * toi_pages + (page - 1)) * TOI_LIMIT + s
+        day = 1 + aid % 28
+        arts.append({
+            "title": _words(aid, 6, "crisis"),
+            "author": f"desk-{aid % 53}",
+            "location": "delhi",
+            "body": _words(aid + 11, 60),
+            "page": 1 + aid % 24,
+            "page_name": f"p{1 + aid % 24}_{aid}",
+            "updatedAt": f"2022-11-{day:02d}T08:30:00",
+            "edition_details": {
+                "date": f"2022-11-{day:02d}",
+                "publication_code": "bench",
+                "edition_code": f"ed{wave}",
+                "edition_name": f"Bench Edition {wave}",
+            },
+        })
+    return json.dumps({"data": arts, "totalDocs": TOI_LIMIT * toi_pages})
+
+
 def index_page(i: int, links_per_index: int, n_domains: int,
                dup_links: int = 3, *, n_index: int | None = None,
                wave_size: int | None = None):
@@ -117,6 +165,12 @@ def index_page(i: int, links_per_index: int, n_domains: int,
             and i + wave_size < n_index):
         anchors += (f'<a href="{index_url(i + wave_size, n_domains)}">'
                     "next</a>")
+    # the first index of wave w anchors the NEXT wave's toi chain head,
+    # so toi page 1 is fetched in round w+1 and its fan-out lands in
+    # round w+2 — the same round as wave-(w+1)'s articles
+    if (wave_size and n_index is not None and i % wave_size == 0
+            and i + wave_size < n_index):
+        anchors += (f'<a href="{toi_url(i // wave_size + 1, 1)}">toi</a>')
     html = (
         '<html><body><div class="searchcontent">' + anchors
         + '<div class="Pagination clearfix"><a href="/p2">2</a></div>'
@@ -134,10 +188,17 @@ def gen_bench_pages(
     partitions: int = 64,
     waves: int = 1,
 ) -> tuple[DataFrame, DataFrame, int]:
-    """Build (pages, seeds, n_articles) for the crawl bench."""
+    """Build (pages, seeds, n_records) for the crawl bench — n_records
+    counts mirror articles plus toi JSON-API records."""
     assert n_index % waves == 0, "waves must split n_index evenly"
     n_articles = n_index * links_per_index
     wave_size = n_index // waves if waves > 1 else None
+
+    # toi strand sizing: one chain per wave, each ~wave-sized so the
+    # JSON kernel runs at volume (~TOI_LIMIT * toi_pages records/round,
+    # ~17% of the mirror record volume at the default shape)
+    toi_pages = wave_size if wave_size else n_index
+    n_toi = waves * toi_pages
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,12 +210,18 @@ def gen_bench_pages(
                                            n_index=n_index,
                                            wave_size=wave_size)
                     text = ""
-                else:
+                elif i < n_index + n_articles:
                     aid = i - n_index
                     if aid % MISS_EVERY == 13:
                         continue  # withheld -> fetch miss
                     url, html, text = article_page(aid, links_per_index,
                                                    n_domains)
+                else:
+                    tid = i - n_index - n_articles
+                    wave, page = tid // toi_pages, tid % toi_pages + 1
+                    url = toi_url(wave, page)
+                    html = toi_page(wave, page, toi_pages)
+                    text = ""
                 urls.append(url)
                 htmls.append(html.encode())
                 texts.append(text)
@@ -164,7 +231,7 @@ def gen_bench_pages(
                 "html": htmls, "text": texts,
             })
 
-    total = n_index + n_articles
+    total = n_index + n_articles + n_toi
     # interleave page kinds across output files: a contiguous range
     # would put every index page (whose extraction carries the whole
     # 300-link fan-out + canonicalization) into ONE file, so a handful
@@ -195,4 +262,11 @@ def gen_bench_pages(
         .selectExpr("url", "'crisis' as keyword", "'mirror' as source",
                     "map('keyword', 'crisis') as meta")
     )
-    return pages, seeds, n_articles
+    # wave 0's toi chain head is seeded; later chains are anchored from
+    # the previous wave's first index page
+    toi_seed = spark.createDataFrame([(toi_url(0, 1),)], "url string") \
+        .selectExpr("url", "'crisis' as keyword", "'toi' as source",
+                    "map('keyword', 'crisis') as meta")
+    seeds = seeds.unionByName(toi_seed)
+    n_records = n_articles + waves * toi_pages * TOI_LIMIT
+    return pages, seeds, n_records
