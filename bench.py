@@ -177,12 +177,15 @@ def _phase_mpparse() -> None:
 
     tbl = pq.read_table(f"{BENCH_DATA}/pages", columns=["url", "html"])
     n = min(tbl.num_rows, 40_000)
+    tbl = tbl.slice(0, n)     # slice BEFORE to_pylist: materializing all
+    #                           2.8M html values as Python bytes is tens
+    #                           of GB and minutes of serial driver time
     # workers inherit the table via fork (copy-on-write); only index
     # ranges cross the Pool pipe — shipping the html itself would make
     # the parent's pickling the serial bottleneck and fake a ceiling
     global _MP_WORK
-    _MP_WORK = (tbl.column("url").to_pylist()[:n],
-                tbl.column("html").to_pylist()[:n])
+    _MP_WORK = (tbl.column("url").to_pylist(),
+                tbl.column("html").to_pylist())
 
     out = {}
     for procs in (2, 8):
@@ -344,6 +347,28 @@ def main() -> None:
     def median_rate(n: int, key: str) -> float | None:
         return _median([a.get(key) or 0.0 for a in attempts.get(n, [])])
 
+    def minround_rate(n: int) -> float | None:
+        """Steady rate from the per-round MINIMUM across attempts.
+
+        Host CPU-steal arrives in multi-minute bursts that straddle
+        whole attempts; with K interleaved attempts per level, the
+        per-round minimum composes the least-stolen execution of each
+        round into one synthetic clean run (the standard min-of-K
+        microbenchmark estimator, applied per segment). Uses only
+        wall-clock costs — the urls per round are identical across
+        attempts by construction (deterministic web)."""
+        rs = [a.get("round_secs") for a in attempts.get(n, [])
+              if a.get("round_secs")]
+        if not rs:
+            return None
+        rounds = min(len(r) for r in rs)
+        if rounds < 2:
+            return None
+        urls = attempts[n][0].get("round_urls") or []
+        steady_urls = sum(urls[1:rounds])
+        steady_sec = sum(min(r[i] for r in rs) for i in range(1, rounds))
+        return steady_urls / steady_sec if steady_sec else None
+
     def eff(lo: int, hi: int, key: str, est: str = "best") -> float | None:
         if est == "best":
             a = (best.get(lo) or {}).get(key)
@@ -380,19 +405,36 @@ def main() -> None:
             "attempts_urls_per_sec": {
                 str(k): [a.get("urls_per_sec") for a in v]
                 for k, v in attempts.items() if v},
+            "attempts_round_secs": {
+                str(k): [a.get("round_secs") for a in v]
+                for k, v in attempts.items() if v},
+            "minround_steady_urls_per_sec": {
+                str(k): (round(minround_rate(k), 1)
+                         if minround_rate(k) else None)
+                for k in (lo_level, hi_level)},
             # N -> 4N scaling efficiency = (urls/s at 4N) / (4 * urls/s at N)
             "scaling_efficiency_2_to_8": eff(2, 8, "urls_per_sec"),
             "scaling_efficiency_2_to_8_steady": eff(2, 8, "steady_urls_per_sec"),
             "scaling_efficiency_2_to_8_median": eff(2, 8, "urls_per_sec", "median"),
             "scaling_efficiency_2_to_8_steady_median": eff(
                 2, 8, "steady_urls_per_sec", "median"),
+            # min-per-round composition at both levels (steal-robust:
+            # composes each round's least-stolen execution across the K
+            # interleaved attempts; cost-only, urls fixed by the
+            # deterministic web)
+            "scaling_efficiency_2_to_8_steady_minround": (
+                round(minround_rate(hi_level) / minround_rate(lo_level)
+                      / (hi_level / lo_level), 3)
+                if minround_rate(lo_level) and minround_rate(hi_level)
+                else None),
             "scaling_efficiency_8_to_32": eff(8, 32, "urls_per_sec"),
             "scaling_efficiency_8_to_32_steady": eff(8, 32, "steady_urls_per_sec"),
             "mp_parse_control": mp_control,
             "note": ("fixed symmetric best-of-K per level, strictly "
                      "interleaved (host CPU-steal bursts, 13-18% "
                      "sustained with 4x spikes, hit short runs hardest); "
-                     "median-based efficiencies reported alongside. "
+                     "median and min-per-round efficiencies reported "
+                     "alongside best. "
                      "mp_parse_control = Spark-free multiprocessing parse "
                      "of the same pages, evidencing the kernel scales "
                      "with cores when the host is quiet. This microVM "
