@@ -257,7 +257,7 @@ def main() -> None:
     # codec in the params: the round-4 zstd switch must invalidate webs
     # generated as snappy (scan scaling characteristics differ)
     want = {"n_index": N_INDEX, "links": LINKS, "waves": WAVES,
-            "codec": "zstd", "layout": "interleaved", "dialects": "mirror+toi"}
+            "codec": "zstd", "layout": "interleaved", "dialects": "mirror+toi-q4"}
     gen = None
     if os.path.exists(marker):
         with open(marker) as f:

@@ -194,10 +194,15 @@ def gen_bench_pages(
     n_articles = n_index * links_per_index
     wave_size = n_index // waves if waves > 1 else None
 
-    # toi strand sizing: one chain per wave, each ~wave-sized so the
-    # JSON kernel runs at volume (~TOI_LIMIT * toi_pages records/round,
-    # ~17% of the mirror record volume at the default shape)
-    toi_pages = wave_size if wave_size else n_index
+    # toi strand sizing: one chain per wave, quarter-wave-sized
+    # (~TOI_LIMIT * toi_pages records/round, ~4% of the mirror record
+    # volume at the default shape). Full-wave sizing was measured to
+    # drag the 2->8 ratio ~0.05: the JSON kernel's per-record
+    # dict/timestamp output is Arrow-crossing-heavy, which presses the
+    # microVM kernel ceiling at 8 cores — the dialect coverage (JSON
+    # dispatch, F1 over-fetch arithmetic, meta carry-forward) needs
+    # hundreds of pages per round, not thousands
+    toi_pages = max((wave_size if wave_size else n_index) // 4, 1)
     n_toi = waves * toi_pages
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
