@@ -175,8 +175,19 @@ def _phase_mpparse() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+    import pyarrow.compute as pc
+
     tbl = pq.read_table(f"{BENCH_DATA}/pages", columns=["url", "html"])
-    n = min(tbl.num_rows, 40_000)
+    # index pages only: after the round-4 kernel fast paths an article
+    # parses in ~0.03 ms, so a mixed-page control mostly measures
+    # memory traversal and fork overhead (observed nonsense
+    # efficiencies 1.9 / 0.34). The index kernel does ~1.3 ms of real
+    # work per page (HTML tokenize + 300-link extraction +
+    # canonicalization) — the same work whose straggler behavior the
+    # control exists to characterize.
+    tbl = tbl.filter(pc.match_substring(pc.field("url"),
+                                        "getsearchdata"))
+    n = min(tbl.num_rows, 8_000)
     tbl = tbl.slice(0, n)     # slice BEFORE to_pylist: materializing all
     #                           2.8M html values as Python bytes is tens
     #                           of GB and minutes of serial driver time
@@ -192,10 +203,16 @@ def _phase_mpparse() -> None:
         bounds = [(i * n // procs, (i + 1) * n // procs)
                   for i in range(procs)]
         with mp.get_context("fork").Pool(procs) as pool:
-            pool.map(_mp_parse_range, [(0, 32)] * procs)  # warm
-            t0 = time.time()
+            # full-range warm pass pays each worker's copy-on-write
+            # page faults up front; then best-of-3 timed passes (the
+            # passes are seconds long, so a single host-steal burst
+            # otherwise owns the number)
             pool.map(_mp_parse_range, bounds)
-            dt = time.time() - t0
+            dt = None
+            for _rep in range(3):
+                t0 = time.time()
+                pool.map(_mp_parse_range, bounds)
+                dt = min(dt or 1e9, time.time() - t0)
         out[str(procs)] = round(n / dt, 1)
     out["efficiency_2_to_8"] = round(out["8"] / out["2"] / 4.0, 3)
     print(json.dumps(out))
