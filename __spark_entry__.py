@@ -939,14 +939,23 @@ def _q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole engine, end to end: deterministic sitegen web -> full
     crawl (robots off, bloom on, politeness budget) -> extracted
     records. Stateful and multi-round, hence no SQL oracle (the driver
-    records the rows-only check); byte-level semantics are pinned by
-    the frontier-equivalence pytest suite against the single-process
-    oracle simulator."""
+    records the rows-only check) — but the output is SELF-CHECKING:
+    every row carries the xor-of-row-md5 digest of the engine's result
+    set (``self_check_actual``, computed distributively) next to the
+    same digest of the single-process oracle simulator's expected
+    result set for the identical site spec (``self_check_expected``,
+    testing/oracle.py), plus ``self_check_ok``. A rows-only gate entry
+    therefore still pins content: actual == expected is visible in the
+    recorded rows themselves."""
+    import atexit
+    import hashlib
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
     from siren_spark.crawl import CrawlConfig, run_crawl
     from siren_spark.testing.frames import pages_df, seeds_df
+    from siren_spark.testing.oracle import simulate_crawl
     from siren_spark.testing.sitegen import (
         SiteSpec, WINDOW_END, WINDOW_START, build_site,
     )
@@ -956,7 +965,26 @@ def _q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                       window_end=WINDOW_END, keywords=spec.keywords,
                       use_bloom=True, bloom_bits=1 << 16, bloom_buckets=4,
                       salt_buckets=4)
-    import shutil
+
+    # expected digest from the oracle simulator (pure python, same
+    # SiteSpec): xor over rows of the first 15 md5 hex chars of
+    # source\x1furl\x1ftitle\x1fgen — xor is order-independent and
+    # overflow-free, and 15 hex chars fit a signed 64-bit long so the
+    # Spark side can mirror the math exactly (conv(hex, 16, 10))
+    def _rowhash_py(source, url, title, gen) -> int:
+        parts = [str(x) for x in (source, url, title, gen)
+                 if x is not None]
+        h = hashlib.md5("\x1f".join(parts).encode()).hexdigest()
+        return int(h[:15], 16)
+
+    sim = simulate_crawl(site.pages, site.seeds,
+                         budget_per_host=cfg.budget_per_host,
+                         window_start=WINDOW_START, window_end=WINDOW_END,
+                         keywords=spec.keywords)
+    expected = 0
+    for r in sim.results:
+        expected ^= _rowhash_py(r["source"], r["url"], r["title"], r["gen"])
+
     ckpt = tempfile.mkdtemp(prefix="entry_crawl_")
     try:
         res = run_crawl(spark, pages_df(spark, site.pages),
@@ -968,10 +996,24 @@ def _q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frame otherwise reads the deleted parquet lazily. Distributed
         # write + lazy read-back (never a collect of a result frame:
         # the same discipline the engine itself follows — a real crawl's
-        # results would not fit on any driver)
+        # results would not fit on any driver). The stable dir must
+        # outlive this call (the returned frame reads it lazily), so it
+        # is reclaimed at interpreter exit, not here.
         stable = tempfile.mkdtemp(prefix="entry_crawl_out_")
+        atexit.register(shutil.rmtree, stable, ignore_errors=True)
         out.write.mode("overwrite").parquet(f"{stable}/results")
-        return spark.read.parquet(f"{stable}/results")
+        got = spark.read.parquet(f"{stable}/results")
+        rowhash = F.conv(F.substring(F.md5(F.concat_ws(
+            "\x1f", F.col("source"), F.col("url"), F.col("title"),
+            F.col("gen").cast("string"))), 1, 15), 16, 10).cast("long")
+        actual = (got.select(rowhash.alias("h"))
+                  .agg(F.expr("bit_xor(h)").alias("self_check_actual")))
+        return (got.crossJoin(F.broadcast(actual))
+                .withColumn("self_check_expected",
+                            F.lit(expected).cast("long"))
+                .withColumn("self_check_ok",
+                            F.col("self_check_actual")
+                            == F.col("self_check_expected")))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -36,6 +36,7 @@ mirror.py:53), errors (kernel exceptions, mirror.py:81-85).
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field as dc_field
@@ -94,14 +95,23 @@ class CrawlConfig:
     seen_compact_every: int = 8
     # pipeline consecutive rounds: round N+1's annotate depends only on
     # round N's STAGED tables (extracted links + annotated frontier) and
-    # the Bloom delta — not on the results/counters/frontier writes — so
+    # the Bloom state — not on the results/counters/frontier writes — so
     # it runs concurrently with them in the derived-writes window,
     # taking the ~flat annotate latency off the round critical path at
-    # every cluster size. Disabled automatically in bucketed-bloom mode
-    # (the bitmap table commits after the writes) and safe under kills:
-    # a pre-staged next-round table is uncommitted, and resume rebuilds
-    # it from the same deterministic inputs.
+    # every cluster size. Works in bucketed-bloom mode too (the 10^10
+    # configuration): the round's bitmap table is STAGED from the pool
+    # right after annotate (it depends only on the staged annotated
+    # frontier + last round's committed bitmaps), the prestaged
+    # next-round annotate reads that staged-but-uncommitted path, and
+    # the commit simply references it. Safe under kills: pre-staged
+    # next-round tables are uncommitted, and resume rebuilds them from
+    # the same deterministic committed inputs.
     pipeline_rounds: bool = True
+    # debug-mode invariant checks (task-side assert_true columns, a
+    # python-UDF cost — never enable in a measured run): currently
+    # verifies domain == registrable_domain(url_canon) on every frontier
+    # row, the invariant the fused (domain, __salt) dup window relies on
+    debug_invariants: bool = False
     # exact-confirm strategy for maybe-seen (Bloom-positive) rows:
     # 'broadcast' inverts the join — the maybe-sliver keys broadcast
     # INTO the seen scan (left-semi) and only the tiny hit-set comes
@@ -225,6 +235,20 @@ def _annotate_round(
     seen-confirm join strategy under ``cfg.seen_confirm='auto'``."""
     spark = frontier.sparkSession
     df = frontier
+
+    if cfg.debug_invariants:
+        # the fused dup window below partitions by (domain, __salt) and
+        # relies on domain being a pure function of url_canon; both
+        # frontier-construction sites enforce it (functions/udfs.py:101
+        # link rows, _seeds_to_frontier seeds) — this filter makes the
+        # invariant fail loud instead of silently double-fetching a URL
+        # whose duplicate landed in another partition. assert_true
+        # returns NULL on pass, so the filter keeps every row (and the
+        # expression alive against column pruning).
+        df = df.filter(F.assert_true(
+            F.col("domain").eqNullSafe(domain_udf(F.col("url_canon"))),
+            F.concat(F.lit("frontier domain != f(url_canon): "),
+                     F.col("url"))).isNull())
 
     if robots_df is not None:
         # cogroup gate: each task receives exactly its domains' rules —
@@ -742,11 +766,15 @@ def run_crawl(
         start_gen = 0
         frontier = _seeds_to_frontier(seeds)
 
-    # frontier size estimate for the seen-confirm strategy: free from
-    # each round's observations (links + deferred); on resume one cheap
-    # parquet count (row-group stats, no scan of column data)
+    # frontier size estimate for the seen-confirm strategy AND the
+    # politeness whole-frontier fast path: free from each round's
+    # observations (links + deferred); on resume or fresh start one
+    # cheap count (row-group stats / tiny seed table — round 0
+    # previously ran with no estimate, which forced the hot-domain
+    # count/join/window machinery even for a seed list far under the
+    # budget: pure fixed round-0 cost at every cluster size)
     frontier_rows: int | None = (frontier.count() if resume
-                                 and start_gen > 0 else None)
+                                 and start_gen > 0 else seeds.count())
 
     def _log(msg: str) -> None:
         if cfg.verbose:
@@ -758,15 +786,23 @@ def run_crawl(
     def _stage_annotated(gen_: int, frontier_: DataFrame,
                          bloom_: BloomFilter | None,
                          seen_: DataFrame | None,
-                         frontier_rows_: int | None) -> tuple[str, dict]:
+                         frontier_rows_: int | None,
+                         bloom_bitmaps_: DataFrame | None = None,
+                         ) -> tuple[str, dict]:
         """Annotate one round's frontier and stage it; returns
         (path, by-status counts). Pure function of committed/staged
         inputs, so it can run from a worker thread (round pipelining)
-        or inline — byte-identical either way."""
+        or inline — byte-identical either way. ``bloom_bitmaps_``
+        overrides the loop's committed bitmap table (the pipelined
+        next-round annotate passes the round's staged-but-uncommitted
+        table, which commits before that annotate is consumed)."""
         caches: list = []
         ann = _annotate_round(frontier_, cfg=cfg, matcher_bc=matcher_bc,
                               robots_df=robots_df,
-                              bloom=bloom_, bloom_bitmaps=bloom_bitmaps,
+                              bloom=bloom_,
+                              bloom_bitmaps=(bloom_bitmaps_
+                                             if bloom_bitmaps_ is not None
+                                             else bloom_bitmaps),
                               seen_exact=seen_,
                               cache_registry=caches,
                               frontier_rows=frontier_rows_)
@@ -784,256 +820,327 @@ def run_crawl(
 
     # pre-staged next-round annotate: {"gen", "path", "counts"}
     pending: dict | None = None
-    # one pool for the whole run: Bloom-delta builds launch right after
-    # annotate (overlapping fetch+extract), derived writes + the
-    # pipelined next-round annotate overlap at round end, and the commit
-    # overlaps the pipelined annotate's tail
-    pool = ThreadPoolExecutor(max_workers=5)
-    # no try/finally: on the normal path the pool is shut down before
-    # returning; on an exception the executor's (idle) threads are
-    # reclaimed at GC/interpreter exit — any in-flight pre-stage write
-    # lands in an uncommitted gen dir that resume cleans up
+    # one pool for the whole run: Bloom-delta builds / bucketed bitmap
+    # staging launch right after annotate (overlapping fetch+extract);
+    # the derived writes, seen/headline compactions and the pipelined
+    # next-round annotate overlap at round end; the commit overlaps the
+    # pipelined annotate's tail. Sized to the maximum concurrent task
+    # set (3 writes + bloom + 2 compactions + prestage = 7) plus one so
+    # the hl-compaction task — which WAITS on the results-write future —
+    # can never be queued behind it (a same-pool wait on a queued task
+    # would deadlock).
+    pool = ThreadPoolExecutor(max_workers=8)
 
-    for gen in range(start_gen, cfg.max_rounds):
-        t0 = time.time()
+    try:
+        for gen in range(start_gen, cfg.max_rounds):
+            t0 = time.time()
+            if frontier_rows == 0:
+                # the frontier size is exact (observed links + deferred,
+                # or a seed/resume count): an empty frontier needs no
+                # annotate job and must not stage a table no round will
+                # commit
+                break
 
-        # ---- job 1: annotate + commit scheduling decisions -------------
-        if pending is not None and pending["gen"] == gen:
-            # staged concurrently with the previous round's derived
-            # writes (pipeline_rounds) — already durable in the gen dir
-            ann_path, n_by_status = pending["path"], pending["counts"]
-            pending = None
-        else:
-            ann_path, n_by_status = _stage_annotated(
-                gen, frontier, bloom, seen_exact, frontier_rows)
-        ann_r = spark.read.parquet(ann_path)
-        _log(f"gen {gen} annotate {time.time()-t0:.1f}s {n_by_status}")
-        if not n_by_status:   # empty frontier -> done (no round committed)
-            break
+            # ---- job 1: annotate + commit scheduling decisions -------------
+            if pending is not None and pending["gen"] == gen:
+                # staged concurrently with the previous round's derived
+                # writes (pipeline_rounds) — already durable in the gen dir
+                ann_path, n_by_status = pending["path"], pending["counts"]
+                pending = None
+            else:
+                ann_path, n_by_status = _stage_annotated(
+                    gen, frontier, bloom, seen_exact, frontier_rows)
+            ann_r = spark.read.parquet(ann_path)
+            _log(f"gen {gen} annotate {time.time()-t0:.1f}s {n_by_status}")
+            if not n_by_status:   # empty frontier -> done (no round committed)
+                break
 
-        # the Bloom delta depends only on the (already staged) annotated
-        # frontier — kick its build off NOW so it overlaps the long
-        # fetch+extract stage instead of serializing ahead of the
-        # pipelined next-round annotate in the writes window
-        bloom_fut = None
-        if cfg.use_bloom and not bucketed:
-            delta_r = (ann_r.filter(F.col("status") == "scheduled")
-                       .select("url_canon"))
-            bloom_fut = pool.submit(_build_delta_bloom, delta_r)
+            # the Bloom state update depends only on the (already staged)
+            # annotated frontier — kick it off NOW so it overlaps the long
+            # fetch+extract stage instead of serializing ahead of the
+            # pipelined next-round annotate in the writes window. In
+            # bucketed mode the update is itself a staged table (delta
+            # partials OR-merged into last round's committed bitmaps): it
+            # lands in this round's uncommitted gen dir, the commit below
+            # references it, and the prestaged next-round annotate reads it
+            # pre-commit — which is what lets pipeline_rounds stay effective
+            # in the 10^10-scale configuration.
+            bloom_fut = None
+            bloom_tbl_fut = None
+            if cfg.use_bloom and not bucketed:
+                delta_r = (ann_r.filter(F.col("status") == "scheduled")
+                           .select("url_canon"))
+                bloom_fut = pool.submit(_build_delta_bloom, delta_r)
+            elif bucketed:
+                prev_bitmaps = bloom_bitmaps
 
-        sched = ann_r.filter(F.col("status") == "scheduled")
+                def _stage_bloom_table() -> str:
+                    delta_r = (ann_r.filter(F.col("status") == "scheduled")
+                               .select("url_canon"))
+                    partials = _delta_partials(delta_r)
+                    if prev_bitmaps is not None:
+                        partials = prev_bitmaps.unionByName(partials)
+                    return store.stage_table(gen, "bloom",
+                                             or_reduce_bitmaps(partials))
 
-        # ---- job 2: fetch-join + single-pass extract --------------------
-        # Scheduled keys broadcast into a hash join against the pages
-        # store: the (big) pages side never shuffles. Above the broadcast
-        # threshold — as at true 10^10 scale — fall back to co-partitioned
-        # SMJ where only the scheduled side shuffles (pages were
-        # partitioned on url_canon at ingest).
-        t1 = time.time()
-        fetch_side = sched.select("url", "url_canon", "meta")
-        n_sched = n_by_status.get("scheduled", 0)
-        if n_sched <= cfg.broadcast_fetch_max:
-            fetched = pages_p.join(F.broadcast(fetch_side), "url_canon",
-                                   "inner")
-        else:
-            if cfg.pages_partitions:
-                fetch_side = fetch_side.repartition(cfg.pages_partitions,
-                                                    "url_canon")
-            fetched = fetch_side.join(pages_p, "url_canon", "inner")
-        fetch_in = fetched.select("url", "html", "meta")
-        if cfg.payload_projection:
-            proj = F.expr(cfg.payload_projection)
-            fetch_in = fetch_in.select(
-                "url",
-                F.when(F.length(proj) > 0, proj.cast("binary"))
-                 .otherwise(F.col("html")).alias("html"),
-                "meta")
-        # the discovered-link count rides the write as an Observation:
-        # links + this round's deferred = next round's frontier size,
-        # the (free) estimate the seen-confirm strategy keys on
-        ex_obs = Observation(f"ex_{gen}")
-        extracted_path = store.stage_table(
-            gen, "extracted",
-            extract_pages(fetch_in).observe(
-                ex_obs,
-                F.sum(F.when(F.col("kind") == "link", 1)
-                      .otherwise(0)).alias("links")))
-        ex = spark.read.parquet(extracted_path)
-        frontier_rows = (int(ex_obs.get["links"] or 0)
-                         + int(n_by_status.get("deferred", 0)))
-        _log(f"gen {gen} fetch+extract {time.time()-t1:.1f}s")
+                bloom_tbl_fut = pool.submit(_stage_bloom_table)
 
-        # ---- cheap derivations from the two committed tables ------------
-        t2 = time.time()
-        hl_seen = (_hl_seen_df(spark, hl_sources)
-                   if cfg.headline_dedup_scope == "run" else None)
-        results_round = _apply_result_filters(
-            ex.filter(F.col("kind") == "record").drop("kind", "meta")
-              .withColumn("gen", F.lit(gen)),
-            cfg,
-            hl_seen=hl_seen,
-        ).select(*RESULT_COLS)
-        if cfg.lang_detect:
-            from siren_spark.functions.langid import langid_udf
-            results_round = results_round.withColumn(
-                "lang", langid_udf()(F.col("text")))
+            sched = ann_r.filter(F.col("status") == "scheduled")
 
-        # url_canon/domain were computed inside the extraction kernel
-        # (the link strings were already in Python there) — this write is
-        # a pure column-pruned select, no UDF job over the staged output
-        links = (
-            ex.filter(F.col("kind") == "link")
-            .select("url", "url_canon", "meta", "via", "domain")
-            .withColumn("priority", F.lit(round(1.0 / (gen + 2), 6)))
-            .withColumn("depth", F.lit(gen + 1))
-            .select(*FRONTIER_COLS)
-        )
-        next_frontier = links.unionByName(
-            ann_r.filter(F.col("status") == "deferred").select(*FRONTIER_COLS))
+            # ---- job 2: fetch-join + single-pass extract --------------------
+            # Scheduled keys broadcast into a hash join against the pages
+            # store: the (big) pages side never shuffles. Above the broadcast
+            # threshold — as at true 10^10 scale — fall back to co-partitioned
+            # SMJ where only the scheduled side shuffles (pages were
+            # partitioned on url_canon at ingest).
+            t1 = time.time()
+            fetch_side = sched.select("url", "url_canon", "meta")
+            n_sched = n_by_status.get("scheduled", 0)
+            if n_sched <= cfg.broadcast_fetch_max:
+                fetched = pages_p.join(F.broadcast(fetch_side), "url_canon",
+                                       "inner")
+            else:
+                if cfg.pages_partitions:
+                    fetch_side = fetch_side.repartition(cfg.pages_partitions,
+                                                        "url_canon")
+                fetched = fetch_side.join(pages_p, "url_canon", "inner")
+            fetch_in = fetched.select("url", "html", "meta")
+            if cfg.payload_projection:
+                proj = F.expr(cfg.payload_projection)
+                fetch_in = fetch_in.select(
+                    "url",
+                    F.when(F.length(proj) > 0, proj.cast("binary"))
+                     .otherwise(F.col("html")).alias("html"),
+                    "meta")
+            # the discovered-link count rides the write as an Observation:
+            # links + this round's deferred = next round's frontier size,
+            # the (free) estimate the seen-confirm strategy keys on
+            ex_obs = Observation(f"ex_{gen}")
+            extracted_path = store.stage_table(
+                gen, "extracted",
+                extract_pages(fetch_in).observe(
+                    ex_obs,
+                    F.sum(F.when(F.col("kind") == "link", 1)
+                          .otherwise(0)).alias("links")))
+            ex = spark.read.parquet(extracted_path)
+            frontier_rows = (int(ex_obs.get["links"] or 0)
+                             + int(n_by_status.get("deferred", 0)))
+            _log(f"gen {gen} fetch+extract {time.time()-t1:.1f}s")
 
-        cnt_caches: list = []
-        # the round's record count rides the counters write as an
-        # Observation — no post-commit re-read of the counters table
-        cnt_obs = Observation(f"cnt_{gen}")
-        counters_df = _round_counters(ann_r, ex, gen, cnt_caches).observe(
-            cnt_obs,
-            F.sum(F.when(F.col("metric") == "records", F.col("n"))
-                  .otherwise(F.lit(0))).alias("n_rec"))
-        # The three derived tables depend only on the two committed
-        # parquet tables (ann_r, ex) and are independent of each other —
-        # stage them from concurrent driver threads so the cluster runs
-        # them as overlapping jobs (tail tasks of one fill the slots of
-        # another) instead of paying scheduling latency + straggler tail
-        # three times in sequence. The round's Bloom-delta build (also
-        # only a function of ann_path) overlaps in the same window.
-        # Per-round serial cost is exactly what the N->4N scaling
-        # comparison pays at every cluster size.
-        tw = time.time()
-        next_fut = None
-        seen_sources_next = seen_sources + [{"path": ann_path,
-                                             "kind": "ann"}]
+            # ---- cheap derivations from the two committed tables ------------
+            t2 = time.time()
+            hl_seen = (_hl_seen_df(spark, hl_sources)
+                       if cfg.headline_dedup_scope == "run" else None)
+            results_round = _apply_result_filters(
+                ex.filter(F.col("kind") == "record").drop("kind", "meta")
+                  .withColumn("gen", F.lit(gen)),
+                cfg,
+                hl_seen=hl_seen,
+            ).select(*RESULT_COLS)
+            if cfg.lang_detect:
+                from siren_spark.functions.langid import langid_udf
+                results_round = results_round.withColumn(
+                    "lang", langid_udf()(F.col("text")))
 
-        def _prestage_next() -> dict | None:
-            """Round gen+1's annotate, overlapped with this round's
-            derived writes (they are independent: it reads only the two
-            staged tables + the Bloom delta). Any failure falls back to
-            inline annotation next round — pipelining is an overlap,
-            never a correctness dependency."""
-            try:
-                merged = bloom
-                if bloom_fut is not None:
-                    merged = merge_blooms(bloom, bloom_fut.result())
-                nf = links.unionByName(
-                    ann_r.filter(F.col("status") == "deferred")
-                    .select(*FRONTIER_COLS))
-                seen_next = _seen_df(spark, seen_sources_next)
-                path, counts = _stage_annotated(
-                    gen + 1, nf, merged, seen_next, frontier_rows)
-                return {"gen": gen + 1, "path": path, "counts": counts}
-            except Exception as e:       # noqa: BLE001
-                _log(f"gen {gen}   prestage next-round annotate "
-                     f"failed ({e!r}); will annotate inline")
-                return None
+            # url_canon/domain were computed inside the extraction kernel
+            # (the link strings were already in Python there) — this write is
+            # a pure column-pruned select, no UDF job over the staged output
+            links = (
+                ex.filter(F.col("kind") == "link")
+                .select("url", "url_canon", "meta", "via", "domain")
+                .withColumn("priority", F.lit(round(1.0 / (gen + 2), 6)))
+                .withColumn("depth", F.lit(gen + 1))
+                .select(*FRONTIER_COLS)
+            )
+            next_frontier = links.unionByName(
+                ann_r.filter(F.col("status") == "deferred").select(*FRONTIER_COLS))
 
-        futs = {name: pool.submit(store.stage_table, gen, name, df)
-                for name, df in (("frontier", next_frontier),
-                                 ("results", results_round),
-                                 ("counters", counters_df))}
-        if cfg.pipeline_rounds and not bucketed \
-                and gen + 1 < cfg.max_rounds:
-            next_fut = pool.submit(_prestage_next)
-        staged_paths = {name: f.result() for name, f in futs.items()}
-        _log(f"gen {gen}   write frontier|results|counters "
-             f"{time.time()-tw:.1f}s")
-        for c in cnt_caches:
-            c.unpersist()
-
-        # seen bookkeeping: this round's scheduled rows extend the seen
-        # set; compact the source list every seen_compact_every rounds so
-        # reads stay O(1)-table (the compaction itself is one small
-        # url_canon-only write, amortized O(1) per round)
-        staged_tables = ["frontier_ann", "extracted", "frontier", "results",
-                         "counters"]
-        seen_sources = seen_sources_next
-        if len(seen_sources) > cfg.seen_compact_every:
+            cnt_caches: list = []
+            # the round's record count rides the counters write as an
+            # Observation — no post-commit re-read of the counters table
+            cnt_obs = Observation(f"cnt_{gen}")
+            counters_df = _round_counters(ann_r, ex, gen, cnt_caches).observe(
+                cnt_obs,
+                F.sum(F.when(F.col("metric") == "records", F.col("n"))
+                      .otherwise(F.lit(0))).alias("n_rec"))
+            # The three derived tables depend only on the two committed
+            # parquet tables (ann_r, ex) and are independent of each other —
+            # stage them from concurrent driver threads so the cluster runs
+            # them as overlapping jobs (tail tasks of one fill the slots of
+            # another) instead of paying scheduling latency + straggler tail
+            # three times in sequence. The round's Bloom-delta build (also
+            # only a function of ann_path) overlaps in the same window.
+            # Per-round serial cost is exactly what the N->4N scaling
+            # comparison pays at every cluster size.
             tw = time.time()
-            compact_path = store.stage_table(
-                gen, "seen_compact", _seen_df(spark, seen_sources))
-            seen_sources = [{"path": compact_path, "kind": "compact"}]
-            staged_tables.append("seen_compact")
-            _log(f"gen {gen}   seen-compact {time.time()-tw:.1f}s")
+            next_fut = None
+            seen_sources_next = seen_sources + [{"path": ann_path,
+                                                 "kind": "ann"}]
 
-        if cfg.headline_dedup_scope == "run":
-            hl_sources = hl_sources + [{"path": staged_paths["results"],
-                                        "kind": "res"}]
-            if len(hl_sources) > cfg.seen_compact_every:
-                hl_path = store.stage_table(
-                    gen, "hl_compact", _hl_seen_df(spark, hl_sources))
-                hl_sources = [{"path": hl_path, "kind": "compact"}]
-                staged_tables.append("hl_compact")
+            def _prestage_next() -> dict | None:
+                """Round gen+1's annotate, overlapped with this round's
+                derived writes (they are independent: it reads only the two
+                staged tables + the Bloom state). Any failure falls back to
+                inline annotation next round — pipelining is an overlap,
+                never a correctness dependency."""
+                try:
+                    merged = bloom
+                    bb_next = None
+                    if bloom_fut is not None:
+                        merged = merge_blooms(bloom, bloom_fut.result())
+                    if bloom_tbl_fut is not None:
+                        # this round's staged (pre-commit) bitmap table; the
+                        # commit below references exactly this path before
+                        # the prestaged annotate is ever consumed
+                        bb_next = spark.read.parquet(bloom_tbl_fut.result())
+                    nf = links.unionByName(
+                        ann_r.filter(F.col("status") == "deferred")
+                        .select(*FRONTIER_COLS))
+                    seen_next = _seen_df(spark, seen_sources_next)
+                    path, counts = _stage_annotated(
+                        gen + 1, nf, merged, seen_next, frontier_rows,
+                        bloom_bitmaps_=bb_next)
+                    return {"gen": gen + 1, "path": path, "counts": counts}
+                except Exception as e:       # noqa: BLE001
+                    _log(f"gen {gen}   prestage next-round annotate "
+                         f"failed ({e!r}); will annotate inline")
+                    return None
 
-        stats: dict = {
-            "by_status": {k: int(v) for k, v in n_by_status.items()},
-            "seen_sources": seen_sources,
-        }
-        if cfg.headline_dedup_scope == "run":
-            stats["hl_seen_sources"] = hl_sources
-        if bucketed:
-            # bucketed filter state: OR the round's delta partials into
-            # the running bitmap table, fully distributed — the driver
-            # never materializes a bitmap, the checkpoint carries it
-            tb = time.time()
-            delta_r = (spark.read.parquet(ann_path)
-                       .filter(F.col("status") == "scheduled")
-                       .select("url_canon"))
-            partials = _delta_partials(delta_r)
-            if bloom_bitmaps is not None:
-                partials = bloom_bitmaps.unionByName(partials)
-            bloom_path = store.stage_table(
-                gen, "bloom", or_reduce_bitmaps(partials))
-            staged_tables.append("bloom")
-            stats["bloom_table"] = bloom_path
-            bloom_bitmaps = spark.read.parquet(bloom_path)
-            _log(f"gen {gen}   bloom-table {time.time()-tb:.1f}s")
+            futs = {name: pool.submit(store.stage_table, gen, name, df)
+                    for name, df in (("frontier", next_frontier),
+                                     ("results", results_round),
+                                     ("counters", counters_df))}
+            # seen/headline compactions fold into the same overlap window
+            # (previously serial staging steps after the writes — ~1 s of
+            # per-round critical path whenever they fired): the seen
+            # compaction reads only already-staged annotated frontiers; the
+            # headline compaction additionally waits on the results write
+            # future (its pool slot is guaranteed — see max_workers above —
+            # and stage_table paths are deterministic, so the source list
+            # can be built before the write lands)
+            seen_sources = seen_sources_next
+            compact_fut = None
+            if len(seen_sources) > cfg.seen_compact_every:
+                compact_fut = pool.submit(
+                    store.stage_table, gen, "seen_compact",
+                    _seen_df(spark, seen_sources))
+            hl_fut = None
+            hl_sources_next = hl_sources
+            if cfg.headline_dedup_scope == "run":
+                hl_sources_next = hl_sources + [
+                    {"path": os.path.join(store._gen_dir(gen), "results"),
+                     "kind": "res"}]
+                if len(hl_sources_next) > cfg.seen_compact_every:
 
-        store.write_round(
-            gen, {}, stats=stats,
-            staged={n: f"{store._gen_dir(gen)}/{n}" for n in staged_tables})
-        # roll forward from committed state
-        frontier = store.read(spark, gen, "frontier")
-        seen_exact = _seen_df(spark, seen_sources)
-        if bloom_fut is not None:
-            # the delta filter was built concurrently with fetch+extract;
-            # only the (numpy, driver-side, ~ms) OR-merge is left
-            bloom = merge_blooms(bloom, bloom_fut.result())
-        if next_fut is not None:
-            # next round's annotate was staged concurrently with this
-            # round's writes + commit (None if it failed -> annotate
-            # inline)
-            pending = next_fut.result()
+                    def _stage_hl_compact() -> str:
+                        futs["results"].result()   # read-after-write dep
+                        return store.stage_table(
+                            gen, "hl_compact",
+                            _hl_seen_df(spark, hl_sources_next))
 
-        # the round timer closes only after every overlapped task the
-        # round started has landed — steady-state throughput must not
-        # hide pipelined work in the gap between timers
-        _log(f"gen {gen} commit {time.time()-t2:.1f}s "
-             f"total {time.time()-t0:.1f}s")
-        round_secs.append(time.time() - t0)
-        n_rec = int(cnt_obs.get["n_rec"] or 0)
-        round_urls.append(int(n_by_status.get("scheduled", 0)) + n_rec)
+                    hl_fut = pool.submit(_stage_hl_compact)
+            # skip the prestage when this round's observations already prove
+            # the next frontier empty (links + deferred == 0): the loop is
+            # about to terminate, and the annotate would only stage a table
+            # no round consumes — wasted cluster time, plus an uncommitted
+            # gen dir the run would leave behind
+            if cfg.pipeline_rounds and gen + 1 < cfg.max_rounds \
+                    and (frontier_rows or 0) > 0:
+                next_fut = pool.submit(_prestage_next)
+            staged_paths = {name: f.result() for name, f in futs.items()}
+            _log(f"gen {gen}   write frontier|results|counters "
+                 f"{time.time()-tw:.1f}s")
+            for c in cnt_caches:
+                c.unpersist()
 
-        if fail_after_round is not None and gen >= fail_after_round:
-            raise RuntimeError(f"simulated kill after round {gen}")
+            # seen bookkeeping: this round's scheduled rows extend the seen
+            # set; compacted every seen_compact_every rounds so reads stay
+            # O(1)-table (amortized O(1) per round, staged concurrently
+            # above)
+            staged_tables = ["frontier_ann", "extracted", "frontier", "results",
+                             "counters"]
+            if compact_fut is not None:
+                compact_path = compact_fut.result()
+                seen_sources = [{"path": compact_path, "kind": "compact"}]
+                staged_tables.append("seen_compact")
+            if cfg.headline_dedup_scope == "run":
+                hl_sources = hl_sources_next
+                if hl_fut is not None:
+                    hl_path = hl_fut.result()
+                    hl_sources = [{"path": hl_path, "kind": "compact"}]
+                    staged_tables.append("hl_compact")
 
-        if n_by_status.get("scheduled", 0) == 0 and \
-                n_by_status.get("deferred", 0) == 0:
-            break
+            stats: dict = {
+                "by_status": {k: int(v) for k, v in n_by_status.items()},
+                "seen_sources": seen_sources,
+            }
+            if cfg.headline_dedup_scope == "run":
+                stats["hl_seen_sources"] = hl_sources
+            if bucketed:
+                # bucketed filter state: the round's delta partials were
+                # OR-merged into the running bitmap table and staged from
+                # the pool right after annotate (overlapping fetch+extract)
+                # — fully distributed, the driver never materializes a
+                # bitmap; the commit references the staged path and the
+                # checkpoint carries it
+                bloom_path = bloom_tbl_fut.result()
+                staged_tables.append("bloom")
+                stats["bloom_table"] = bloom_path
+                bloom_bitmaps = spark.read.parquet(bloom_path)
 
+            store.write_round(
+                gen, {}, stats=stats,
+                staged={n: f"{store._gen_dir(gen)}/{n}" for n in staged_tables})
+            # roll forward from committed state
+            frontier = store.read(spark, gen, "frontier")
+            seen_exact = _seen_df(spark, seen_sources)
+            if bloom_fut is not None:
+                # the delta filter was built concurrently with fetch+extract;
+                # only the (numpy, driver-side, ~ms) OR-merge is left
+                bloom = merge_blooms(bloom, bloom_fut.result())
+            if next_fut is not None:
+                # next round's annotate was staged concurrently with this
+                # round's writes + commit (None if it failed -> annotate
+                # inline)
+                pending = next_fut.result()
+
+            # the round timer closes only after every overlapped task the
+            # round started has landed — steady-state throughput must not
+            # hide pipelined work in the gap between timers
+            _log(f"gen {gen} commit {time.time()-t2:.1f}s "
+                 f"total {time.time()-t0:.1f}s")
+            round_secs.append(time.time() - t0)
+            n_rec = int(cnt_obs.get["n_rec"] or 0)
+            round_urls.append(int(n_by_status.get("scheduled", 0)) + n_rec)
+
+            if fail_after_round is not None and gen >= fail_after_round:
+                raise RuntimeError(f"simulated kill after round {gen}")
+
+            if n_by_status.get("scheduled", 0) == 0 and \
+                    n_by_status.get("deferred", 0) == 0:
+                break
+
+    except BaseException:
+        # a failing Spark action must not leave non-daemon pool
+        # workers driving queued jobs (concurrent.futures' atexit
+        # join would otherwise block interpreter shutdown until an
+        # in-flight pre-staged annotate finishes): cancel queued
+        # work and surface the error. Any in-flight pre-stage
+        # write lands in an uncommitted gen dir that resume
+        # ignores and cleans.
+        pool.shutdown(wait=False, cancel_futures=True)
+        raise
     pool.shutdown(wait=True)
     if matcher_bc is not None:
         # returned frames are all parquet-backed (no live plan holds the
         # gate UDF), so the broadcast can be released eagerly
         matcher_bc.unpersist()
     last = store.latest_gen()
+    # reclaim any staged-but-never-committed gen dir (an inline annotate
+    # of a frontier that turned out empty, or a prestage raced by an
+    # unusual termination): harmless for resume — manifests gate every
+    # read — but a completed crawl should leave a clean checkpoint
+    store.drop_uncommitted((last + 1) if last is not None else 0)
     return CrawlResult(
         rounds=(last + 1 if last is not None else 0),
         results=store.read_all(spark, "results"),

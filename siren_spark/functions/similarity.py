@@ -141,28 +141,45 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) via MinHash LSH.
 
-    ``band_cap`` guards the band self-join against hot keys: a band_key
+    ``band_cap`` guards the band grouping against hot keys: a band_key
     shared by n documents produces n^2/2 pairs in one task, and at web
     scale the empty/boilerplate band is a single key covering millions
     of documents. Bands larger than the cap are dropped (their members
     are better handled by exact dedup upstream — identical docs share
     *every* band, so a capped band loses nothing that md5-exact dedup
-    would not catch). Pass ``band_cap=None`` to disable.
+    would not catch). Pass ``band_cap=None`` to disable — with the
+    caveat that one degenerate band then materializes its full n^2
+    pair array inside a single row.
+
+    Plan shape: ONE pass over the (expensive) shingle->minhash pipeline
+    — bands groupBy(b, band_key) into an id list and pairs are expanded
+    with JVM array lambdas. The previous band-key self-join referenced
+    the signature frame twice, so Catalyst recomputed the whole
+    explode/md5/groupBy pipeline for each side (measured ~2x the query
+    cost at sf0.1); the groupBy form also gets the hot-band cap for
+    free (``size(ids)``) instead of a count window.
     """
     sigs = minhash_signatures(df, id_col, text_col,
                               perms=perms, shingle_size=shingle_size)
     bk = minhash_band_keys(sigs, perms=perms, bands=bands)
+    grp = (bk.groupBy("b", "band_key")
+           .agg(F.collect_list("id").alias("ids"))
+           .where(F.size("ids") >= 2))
     if band_cap is not None:
-        w = Window.partitionBy("b", "band_key")
-        bk = (bk.withColumn("__n", F.count(F.lit(1)).over(w))
-              .where(F.col("__n") <= band_cap).drop("__n"))
-    a = bk.alias("a")
-    b = bk.alias("b")
-    return (a.join(b, [F.col("a.b") == F.col("b.b"),
-                       F.col("a.band_key") == F.col("b.band_key"),
-                       F.col("a.id") < F.col("b.id")])
-            .select(F.col("a.id").cast("long").alias("doc_a"),
-                    F.col("b.id").cast("long").alias("doc_b"))
+        grp = grp.where(F.size("ids") <= band_cap)
+    # all (x, y) with x < y from the band's id list — set-identical to
+    # the old a.id < b.id self-join condition, order-insensitive to the
+    # nondeterministic collect_list ordering
+    pair_structs = F.filter(
+        F.flatten(F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.col("ids"),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))))),
+        lambda s: s["doc_a"] < s["doc_b"])
+    return (grp.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.doc_a").cast("long").alias("doc_a"),
+                    F.col("p.doc_b").cast("long").alias("doc_b"))
             .distinct())
 
 
@@ -444,6 +461,14 @@ def ann_lsh_topk(
     living in an over-cap bucket vanish from the top-k with no error.
     At cluster scale pass an explicit cap (e.g. 4096) sized so
     probes x cap stays within a task's memory, and monitor recall.
+
+    .. versionchanged:: round 4
+       ``bucket_cap`` default changed from 4096 to ``None``: the old
+       default silently dropped true neighbors living in over-cap
+       buckets. Callers that relied on the implicit cap must now pass
+       ``bucket_cap=4096`` explicitly (and accept the recall loss it
+       implies); callers that pass nothing get exact candidate
+       coverage at the cost of unbounded bucket size.
     """
     bb = embedding_lsh_buckets(df, id_col, emb_col, n_planes=n_planes)
     qs = bb.where(query_filter)

@@ -47,6 +47,18 @@ class CheckpointStore:
             shutil.rmtree(gd)
         self._staged_gens.add(gen)
 
+    def drop_uncommitted(self, gen: int) -> None:
+        """Remove gen ``gen``'s directory iff it was never committed —
+        used by the crawl loop at normal exit to reclaim a prestaged
+        next-round table that no round ended up consuming (pipelining
+        garbage; resume would also ignore it, this just keeps the
+        checkpoint clean). A committed gen is never touched."""
+        gd = self._gen_dir(gen)
+        if os.path.exists(gd) and not os.path.exists(self._manifest_path(gen)):
+            shutil.rmtree(gd)
+        if hasattr(self, "_staged_gens"):
+            self._staged_gens.discard(gen)
+
     def stage_table(self, gen: int, name: str, df: DataFrame) -> str:
         """Materialize an intermediate table under the (uncommitted) gen
         dir and return its path. It becomes durable only when

@@ -454,3 +454,77 @@ def test_payload_projection_equivalence(spark, site, engine, tmp_path_factory):
                .withColumn("p", F.expr(MIRROR_LDJSON_PROJECTION))
                .filter(F.length("p") > 0).count())
     assert n_fired > 0
+
+
+def test_bucketed_pipeline_resume_equals_uninterrupted(
+        spark, site, engine, tmp_path):
+    """Round pipelining now stays effective in bucketed-bloom mode (the
+    10^10-scale configuration): the round's bitmap table is staged in
+    the overlap window and the prestaged next-round annotate reads it
+    pre-commit. A kill mid-run must still resume to the byte-identical
+    result set — the prestaged gen dir is uncommitted and rebuilt."""
+    cfg = CrawlConfig(
+        budget_per_host=BUDGET, window_start=WINDOW_START,
+        window_end=WINDOW_END, keywords=SPEC.keywords,
+        use_bloom=True, bloom_bits=1 << 16, bloom_buckets=4, salt_buckets=4,
+        bloom_probe="bucketed", pipeline_rounds=True,
+    )
+    ckpt = str(tmp_path / "ckbp")
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_crawl(spark, pages_df(spark, site.pages),
+                  seeds_df(spark, site.seeds), cfg, ckpt, fail_after_round=1)
+    resumed = run_crawl(spark, pages_df(spark, site.pages),
+                        seeds_df(spark, site.seeds), cfg, ckpt, resume=True)
+    a = sorted(_result_key(r.asDict()) for r in resumed.results.collect())
+    b = sorted(_result_key(r.asDict()) for r in engine.results.collect())
+    assert a == b
+    sa = {r.url_canon for r in resumed.seen.collect()}
+    sb = {r.url_canon for r in engine.seen.collect()}
+    assert sa == sb
+
+
+def test_completed_crawl_leaves_clean_checkpoint(spark, site, tmp_path):
+    """A completed run must leave no uncommitted gen dir behind — the
+    prestage is skipped once the observations prove the next frontier
+    empty, and any staged-but-unconsumed dir is reclaimed at exit."""
+    import os
+
+    cfg = CrawlConfig(
+        budget_per_host=BUDGET, window_start=WINDOW_START,
+        window_end=WINDOW_END, keywords=SPEC.keywords,
+        use_bloom=True, bloom_bits=1 << 16, bloom_buckets=4, salt_buckets=4,
+    )
+    ckpt = str(tmp_path / "ckclean")
+    res = run_crawl(spark, pages_df(spark, site.pages),
+                    seeds_df(spark, site.seeds), cfg, ckpt)
+    committed = {f"gen={g}" for g in range(res.rounds)}
+    on_disk = {d for d in os.listdir(ckpt) if d.startswith("gen=")}
+    assert on_disk == committed
+
+
+def test_debug_invariants_catch_domain_corruption(spark, site, engine,
+                                                  tmp_path):
+    """cfg.debug_invariants pins domain == f(url_canon) — the invariant
+    the fused (domain, __salt) dup window relies on. A clean crawl
+    passes with the checks on; a corrupted frontier row fails loud
+    instead of silently double-scheduling the URL."""
+    from siren_spark.crawl import _annotate_round
+
+    cfg = CrawlConfig(
+        budget_per_host=BUDGET, window_start=WINDOW_START,
+        window_end=WINDOW_END, keywords=SPEC.keywords,
+        use_bloom=False, debug_invariants=True, max_rounds=2,
+    )
+    res = run_crawl(spark, pages_df(spark, site.pages),
+                    seeds_df(spark, site.seeds), cfg,
+                    str(tmp_path / "ckdbg"))
+    assert res.rounds >= 1   # checks on, crawl still runs
+
+    bad = spark.createDataFrame(
+        [("https://A.example/x", "https://a.example/x", "WRONG.example",
+          1.0, 0, None, {})],
+        "url string, url_canon string, domain string, priority double, "
+        "depth int, via string, meta map<string,string>")
+    ann = _annotate_round(bad, cfg=cfg, bloom=None, seen_exact=None)
+    with pytest.raises(Exception, match=r"domain != f\(url_canon\)"):
+        ann.count()

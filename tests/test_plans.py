@@ -167,3 +167,16 @@ def test_annotate_single_full_frontier_exchange(spark):
     # hot branch) reads the cache, so the scan+gate+window runs once
     assert "InMemoryRelation" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_crawl_gate_is_self_checking(spark):
+    """The crawl_end_to_end gate output embeds the oracle simulator's
+    expected row digest next to the engine's (distributively computed)
+    actual digest — the driver's rows-only record therefore pins
+    content. Equality here IS the e2e frontier-equivalence claim."""
+    df = entrymod.queries()["crawl_end_to_end"](spark, SF)
+    row = df.select("self_check_expected", "self_check_actual",
+                    "self_check_ok").distinct().collect()
+    assert len(row) == 1
+    assert row[0].self_check_ok
+    assert row[0].self_check_expected == row[0].self_check_actual
