@@ -48,6 +48,36 @@ N_INDEX = int(os.environ.get("SIREN_BENCH_INDEX", "8000"))
 LINKS = int(os.environ.get("SIREN_BENCH_LINKS", "300"))
 WAVES = int(os.environ.get("SIREN_BENCH_WAVES", "4"))
 
+def _cpu_jiffies() -> dict[str, int] | None:
+    """Aggregate cpu line from /proc/stat (user..steal), for measuring
+    how much hypervisor CPU-steal contaminated a timed window. Returns
+    None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        keys = ("user", "nice", "system", "idle", "iowait", "irq",
+                "softirq", "steal")
+        return {k: int(v) for k, v in zip(keys, parts[1:9])}
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_mix(before: dict | None, after: dict | None) -> dict | None:
+    """steal/sys/user as % of total capacity over a window. This host
+    is a shared microVM whose CPU-steal bursts swing individual
+    attempts up to 1.6x — recording the per-attempt steal share makes
+    each number's contamination visible in the artifact instead of
+    anecdotal. Percentages are of ALL guest CPUs (32), so an 8-core
+    attempt showing steal_pct=9 lost ~36% of its working cores."""
+    if not before or not after:
+        return None
+    d = {k: after[k] - before[k] for k in before}
+    tot = sum(d.values()) or 1
+    return {"steal_pct": round(100.0 * d["steal"] / tot, 2),
+            "sys_pct": round(100.0 * d["system"] / tot, 2),
+            "user_pct": round(100.0 * d["user"] / tot, 2)}
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "j1_enrichment_join",
@@ -155,12 +185,14 @@ def _phase_crawl(master_cores: str) -> None:
         # cached) files — cleared 0.86+ on every estimator.
         pages.select(F.length("html")).write.format("noop") \
             .mode("overwrite").save()
+        jiff0 = _cpu_jiffies()
         t0 = time.time()
         res = run_crawl(spark, pages, seeds, cfg, ckpt)
         fetched = (res.counters.filter(F.col("metric") == "fetched")
                    .agg(F.sum("n")).collect()[0][0]) or 0
         extracted = res.results.count() if res.results is not None else 0
         dt = time.time() - t0
+        cpu_mix = _cpu_mix(jiff0, _cpu_jiffies())
         # steady-state = rounds after the first (gen0 pays python-worker
         # spawn + first corpus scan, and seeds only a wave of indexes);
         # with the 4-wave bench web this is a 4-round full-volume window.
@@ -178,6 +210,7 @@ def _phase_crawl(master_cores: str) -> None:
             "round_secs": [round(s, 2) for s in (res.round_secs or [])],
             "round_urls": list(res.round_urls or []),
             "rounds": res.rounds,
+            "cpu_mix": cpu_mix,
         }))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -446,6 +479,13 @@ def main() -> None:
             "attempts_round_secs": {
                 str(k): [a.get("round_secs") for a in v]
                 for k, v in attempts.items() if v},
+            # hypervisor CPU-steal share (% of all 32 guest CPUs) per
+            # attempt, measured across exactly the timed window: the
+            # contamination record for every number above
+            "attempts_steal_pct": {
+                str(k): [(a.get("cpu_mix") or {}).get("steal_pct")
+                         for a in v]
+                for k, v in attempts.items() if v},
             "minround_steady_urls_per_sec": {
                 str(k): (round(minround_rate(k), 1)
                          if minround_rate(k) else None)
@@ -520,6 +560,7 @@ def main() -> None:
             "eff_8_to_32_steady": crawl["scaling_efficiency_8_to_32_steady"],
             "mp_parse_eff_2_to_8":
                 (mp_control or {}).get("efficiency_2_to_8"),
+            "steal_pct": crawl["attempts_steal_pct"],
             "completed_tries": crawl["protocol"]["completed_tries"],
             "dropped": len(dropped),
             "elapsed_s": crawl["protocol"]["elapsed_s"],

@@ -146,6 +146,25 @@ class CrawlConfig:
     # broadcast the scheduled side of the fetch join below this row count
     # (above it: co-partitioned SMJ, the 10^10-scale path)
     broadcast_fetch_max: int = 2_000_000
+    # fetch-join strategy: 'auto' broadcasts the scheduled side under
+    # broadcast_fetch_max and falls back to SMJ above it; 'broadcast'
+    # forces the broadcast; 'bucketed' assumes the pages frame reads a
+    # table bucketed on url_canon (sources/pages.py
+    # BucketedParquetPageStore, or Iceberg's bucket(N, url_canon)) and
+    # plans a shuffled-hash join where ONLY the scheduled side shuffles
+    # — no per-round broadcast build, no corpus exchange, no corpus
+    # sort (plan pinned by tests/test_fetch_bucketed.py)
+    fetch_join: str = "auto"
+    # politeness phase-2 strategy cutover: when the bounded hot-sliver
+    # survivor estimate (sum over hot domains of min(eligible_count,
+    # salt_buckets * budget)) stays at or under this, rank survivors
+    # with one per-domain window (a single task sorts the sliver —
+    # sub-second at this size, no extra caches or driver action);
+    # above it, compute the same exact rank distributively
+    # (range-partition + per-partition offsets) so no single task ever
+    # sorts a hot domain's full sliver (the Amdahl term measured at
+    # 0.39 efficiency on the binding-budget spot pair)
+    politeness_rank_local_max: int = 1 << 18
     # JVM-side payload pre-projection (SQL expression over `html`,
     # evaluated inside the scan pipeline BEFORE the Arrow crossing): when
     # it yields a non-empty string, that string replaces the page payload
@@ -437,11 +456,26 @@ def _annotate_round(
         # the long tail of small rounds hit this)
         df = df.withColumn("__sched", F.col("__eligible")).select(*out_cols)
     else:
-        hot = (df.filter(F.col("__eligible"))
-               .groupBy("domain").agg(F.count(F.lit(1)).alias("__n"))
-               .filter(F.col("__n") > cfg.budget_per_host)
-               .select("domain").withColumn("__hot", F.lit(True)))
-        df = df.join(F.broadcast(hot), "domain", "left")
+        # hot-domain detection collects counts to the driver — O(hot
+        # domains) rows off a map-side-combined agg over the cached
+        # frontier. The counts drive two decisions the plan can't make
+        # lazily: skip ALL politeness machinery when no domain is hot
+        # (most rounds of a broad crawl), and pick the phase-2 rank
+        # strategy from the bounded sliver size.
+        hot_rows = (df.filter(F.col("__eligible"))
+                    .groupBy("domain").agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > cfg.budget_per_host)
+                    .collect())
+        if not hot_rows:
+            df = (df.withColumn("__sched", F.col("__eligible"))
+                  .select(*out_cols))
+            return _annotate_finish(df)
+        cap = cfg.salt_buckets * cfg.budget_per_host
+        sliver_est = sum(min(r["__n"], cap) for r in hot_rows)
+        hot = F.broadcast(spark.createDataFrame(
+            [(r["domain"],) for r in hot_rows], "domain string")
+            .withColumn("__hot", F.lit(True)))
+        df = df.join(hot, "domain", "left")
 
         cold = df.filter(F.col("__hot").isNull()).withColumn(
             "__sched", F.col("__eligible"))
@@ -449,18 +483,85 @@ def _annotate_round(
         order = [F.desc("__eligible"), F.desc("priority"),
                  F.asc("url_canon")]
         w1 = Window.partitionBy("domain", "__salt").orderBy(*order)
-        hotr = hotr.withColumn("__rn1", F.row_number().over(w1))
-        hotr = hotr.withColumn(
-            "__surv",
-            F.col("__eligible") & (F.col("__rn1") <= cfg.budget_per_host))
-        w2 = Window.partitionBy("domain").orderBy(
-            F.desc("__surv"), F.desc("priority"), F.asc("url_canon"))
-        hotr = hotr.withColumn("__rn2", F.row_number().over(w2))
-        hotr = hotr.withColumn(
-            "__sched",
-            F.col("__surv") & (F.col("__rn2") <= cfg.budget_per_host))
-        df = cold.select(*out_cols).unionByName(hotr.select(*out_cols))
+        hotr = (hotr.withColumn("__rn1", F.row_number().over(w1))
+                .withColumn(
+                    "__surv",
+                    F.col("__eligible")
+                    & (F.col("__rn1") <= cfg.budget_per_host)))
+        # Phase 2: global per-domain top-budget over the phase-1
+        # survivors (phase 1 bounds any domain's survivor count to
+        # salt_buckets * budget, so pruning first is lossless — a row
+        # cut in its bucket cannot be in the global top-budget).
+        if sliver_est <= cfg.politeness_rank_local_max:
+            # small sliver: one per-domain window — a single task sorts
+            # at most sliver_est pre-bounded rows
+            w2 = Window.partitionBy("domain").orderBy(
+                F.desc("__surv"), F.desc("priority"), F.asc("url_canon"))
+            hotr = (hotr.withColumn("__rn2", F.row_number().over(w2))
+                    .withColumn(
+                        "__sched",
+                        F.col("__surv")
+                        & (F.col("__rn2") <= cfg.budget_per_host)))
+            df = cold.select(*out_cols).unionByName(
+                hotr.select(*out_cols))
+            return _annotate_finish(df)
+        # large sliver: a plain Window.partitionBy("domain") would
+        # funnel every survivor of a hot domain through ONE task —
+        # measured as the term that capped the binding-budget 2->8 spot
+        # at 0.39 (one core sorts while the rest idle). Compute the
+        # EXACT rank distributively instead: range-partition the
+        # survivors on the total order (domain, priority desc,
+        # url_canon — strict: url_canon is unique among eligible rows
+        # after the dup window), sort within partitions, then global
+        # rank = rows of the same domain in earlier partitions (a tiny
+        # per-(partition, domain) count collected to the driver) + the
+        # row's offset inside its domain's contiguous block
+        # (monotonically_increasing_id minus the block's min — exact
+        # because partitions are sorted). Every stage is parallel; the
+        # driver sees only O(partitions x hot domains) rows.
+        # hotr is cached because the survivor and cut branches both
+        # read it — uncached, each recomputes the window with its own
+        # sliver exchange
+        hotr = hotr.persist()
+        if cache_registry is not None:
+            cache_registry.append(hotr)
+        surv = hotr.filter(F.col("__surv"))
+        rest = hotr.filter(~F.col("__surv")).withColumn(
+            "__sched", F.lit(False))
+        p_n = spark.sparkContext.defaultParallelism * 2
+        ord2 = [F.asc("domain"), F.desc("priority"), F.asc("url_canon")]
+        surv = (surv.repartitionByRange(p_n, *ord2)
+                .sortWithinPartitions(*ord2)
+                .withColumn("__pid", F.spark_partition_id())
+                .withColumn("__mid", F.monotonically_increasing_id())
+                .persist())
+        if cache_registry is not None:
+            cache_registry.append(surv)
+        stats = (surv.groupBy("__pid", "domain")
+                 .agg(F.count(F.lit(1)).alias("__c"),
+                      F.min("__mid").alias("__m0"))
+                 .collect())
+        run: dict = {}
+        offs = []
+        for r in sorted(stats, key=lambda r: (r["domain"], r["__pid"])):
+            offs.append((r["__pid"], r["domain"],
+                         run.get(r["domain"], 0), r["__m0"]))
+            run[r["domain"]] = run.get(r["domain"], 0) + r["__c"]
+        off_df = spark.createDataFrame(
+            offs, "__pid int, domain string, __off long, __m0 long")
+        surv = (surv.join(F.broadcast(off_df), ["__pid", "domain"])
+                .withColumn("__rank", F.col("__off")
+                            + (F.col("__mid") - F.col("__m0")) + F.lit(1))
+                .withColumn("__sched",
+                            F.col("__rank") <= cfg.budget_per_host))
+        df = (cold.select(*out_cols)
+              .unionByName(surv.select(*out_cols))
+              .unionByName(rest.select(*out_cols)))
 
+    return _annotate_finish(df)
+
+
+def _annotate_finish(df: DataFrame) -> DataFrame:
     status = (
         F.when(~F.col("__allowed"), F.lit("blocked"))
         .when(~F.col("__first") | F.col("__seen"), F.lit("deduped"))
@@ -896,7 +997,15 @@ def run_crawl(
             t1 = time.time()
             fetch_side = sched.select("url", "url_canon", "meta")
             n_sched = n_by_status.get("scheduled", 0)
-            if n_sched <= cfg.broadcast_fetch_max:
+            if cfg.fetch_join == "bucketed":
+                # pages scan is bucketed on url_canon: the scheduled
+                # side shuffles into the buckets and builds per-bucket
+                # hash maps; the corpus streams through them — no
+                # broadcast build, no corpus exchange, no sort
+                fetched = pages_p.join(fetch_side.hint("shuffle_hash"),
+                                       "url_canon", "inner")
+            elif cfg.fetch_join == "broadcast" or \
+                    n_sched <= cfg.broadcast_fetch_max:
                 fetched = pages_p.join(F.broadcast(fetch_side), "url_canon",
                                        "inner")
             else:

@@ -50,6 +50,48 @@ class ParquetPageStore(PageStore):
         df.write.mode("overwrite").parquet(self.path)
 
 
+class BucketedParquetPageStore(PageStore):
+    """Catalog-registered bucketed pages table — the stock-Spark
+    stand-in for :class:`IcebergPageStore`'s ``bucket(N, url_canon)``
+    partition transform.
+
+    ``bucketBy(N, url_canon) + sortBy(url_canon)`` records the
+    bucketing in the session catalog, so a fetch join on url_canon
+    plans with NO exchange on the pages side: with
+    ``CrawlConfig(fetch_join='bucketed')`` the crawl round shuffles
+    only the (small) scheduled side into the N buckets and streams the
+    corpus through per-bucket hash maps — no per-round driver
+    broadcast build, no corpus shuffle, no corpus sort. Write once at
+    ingest (one corpus shuffle, amortized over every round of every
+    crawl); read via ``spark.table`` so the bucketing metadata
+    attaches to the scan.
+    """
+
+    def __init__(self, table: str, buckets: int = 64,
+                 path: str | None = None):
+        self.table = table
+        self.buckets = buckets
+        self.path = path
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.table)
+
+    def write(self, df: DataFrame) -> None:
+        if "url_canon" not in df.columns:
+            df = df.withColumn("url_canon", canonicalize_udf(F.col("url")))
+        # pre-shuffle into the bucket layout (same murmur3 pmod N hash)
+        # so each write task holds exactly one bucket and every bucket
+        # lands as ONE file — without this each task emits its own file
+        # per bucket and the file count multiplies by write parallelism
+        w = (df.repartition(self.buckets, "url_canon")
+             .write.mode("overwrite")
+             .bucketBy(self.buckets, "url_canon").sortBy("url_canon")
+             .format("parquet"))
+        if self.path:
+            w = w.option("path", self.path)
+        w.saveAsTable(self.table)
+
+
 class IcebergPageStore(PageStore):
     """Iceberg-backed store (cluster deployments).
 
@@ -83,5 +125,5 @@ class IcebergPageStore(PageStore):
         df.writeTo(self.table).createOrReplace()
 
 
-__all__ = ["PageStore", "ParquetPageStore", "IcebergPageStore",
-           "PAGES_SCHEMA"]
+__all__ = ["PageStore", "ParquetPageStore", "BucketedParquetPageStore",
+           "IcebergPageStore", "PAGES_SCHEMA"]

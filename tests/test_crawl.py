@@ -525,6 +525,62 @@ def test_debug_invariants_catch_domain_corruption(spark, site, engine,
           1.0, 0, None, {})],
         "url string, url_canon string, domain string, priority double, "
         "depth int, via string, meta map<string,string>")
-    ann = _annotate_round(bad, cfg=cfg, bloom=None, seen_exact=None)
+    # the corrupted row fails loud — either at plan time (the politeness
+    # rank stats action inside _annotate_round) or at the first count
     with pytest.raises(Exception, match=r"domain != f\(url_canon\)"):
-        ann.count()
+        _annotate_round(bad, cfg=cfg, bloom=None, seen_exact=None).count()
+
+
+def test_politeness_rank_strategies_equivalent(spark):
+    """The two phase-2 rank strategies — small-sliver per-domain window
+    vs the at-scale distributed exact rank — must produce identical
+    per-URL statuses on a skewed frontier (one domain far over budget,
+    several at the margin, cold tail). The cutover is a physical choice
+    only; the scheduled set is defined by the same strict total order
+    (domain, priority desc, url_canon)."""
+    from pyspark.sql import functions as F
+
+    from siren_spark.crawl import CrawlConfig, _annotate_round
+
+    rows = []
+    # hot domain: 400 urls with colliding priorities (rank ties broken
+    # by url_canon alone)
+    for i in range(400):
+        u = f"https://hot.example/a/{i:04d}"
+        rows.append((u, u, "hot.example", float(i % 7), 0, None, {}))
+    # marginal domains: just over budget
+    for d in range(5):
+        for i in range(30):
+            u = f"https://m{d}.example/p/{i:03d}"
+            rows.append((u, u, f"m{d}.example", 1.0, 0, None, {}))
+    # cold tail
+    for i in range(50):
+        u = f"https://c{i}.example/only"
+        rows.append((u, u, f"c{i}.example", 1.0, 0, None, {}))
+    fr = spark.createDataFrame(
+        rows, "url string, url_canon string, domain string, "
+              "priority double, depth int, via string, "
+              "meta map<string,string>")
+
+    def statuses(local_max):
+        caches: list = []
+        cfg = CrawlConfig(budget_per_host=25, use_bloom=False,
+                          politeness_rank_local_max=local_max)
+        ann = _annotate_round(fr, cfg=cfg, bloom=None, seen_exact=None,
+                              cache_registry=caches)
+        try:
+            return {(r.url_canon, r.status) for r in ann.collect()}
+        finally:
+            for c in caches:
+                c.unpersist()
+
+    windowed = statuses(1 << 30)
+    distributed = statuses(0)
+    assert windowed == distributed
+    sched = {u for u, s in windowed if s == "scheduled"}
+    assert sum(u.startswith("https://hot.") for u in sched) == 25
+    # within the hot domain the kept set is the exact top-25 of the
+    # total order: priority desc, then url_canon asc
+    want = sorted((f"https://hot.example/a/{i:04d}" for i in range(400)),
+                  key=lambda u: (-(int(u[-4:]) % 7), u))[:25]
+    assert {u for u in sched if u.startswith("https://hot.")} == set(want)

@@ -117,16 +117,22 @@ def test_bucketed_bloom_or_reduce_shuffles_bitmaps_not_urls(spark):
 def test_annotate_single_full_frontier_exchange(spark):
     """The round-4 annotate restructure (fused dup window + inverted
     broadcast seen-confirm + politeness split-union) must keep exactly
-    ONE full-frontier shuffle in the plan:
+    ONE full-frontier shuffle in the executed plan:
 
-    - the only (domain, __salt) exchange over the whole frontier is the
-      one inside the cached subtree (a second one exists but feeds only
-      the hot-domain sliver filter);
+    - the only full-frontier (domain, __salt) exchange is the one
+      inside the cached subtree; the hot-domain sliver may re-exchange
+      once for the phase-1 politeness window, and the round-5
+      distributed rank adds a range exchange over phase-1 SURVIVORS
+      only — never a third (domain, __salt) shuffle;
     - the seen set is never sort-merge-joined in broadcast-confirm mode
       (it streams into a broadcast-semi probe) — no SortMergeJoin
-      anywhere;
-    - no url_canon-keyed exchange of the frontier (the old dup window)
-      outside tiny broadcast-build subtrees.
+      anywhere.
+
+    The politeness stats action inside _annotate_round materializes the
+    caches, so AQE prints each cache's plan as "Final Plan" PLUS a
+    never-executed "Initial Plan" copy whose exchanges carry fresh
+    plan_ids — count only exchanges under a ShuffleQueryStage (the
+    nodes that actually ran).
     """
     import re
 
@@ -146,7 +152,14 @@ def test_annotate_single_full_frontier_exchange(spark):
         "url string").select(F.col("url").alias("url_canon")))
     bloom = build_bloom(seen, "url_canon",
                         bits_per_bucket=1 << 14, buckets=4)
-    cfg = CrawlConfig(budget_per_host=50, use_bloom=True)
+    # budget 20 < ~47 post-seen eligible rows per domain, so every
+    # domain is hot and the sliver path (w1 + distributed rank) really
+    # executes — at budget 50 AQE proves the sliver empty and the pin
+    # would not cover it; rank_local_max=0 forces the at-scale
+    # distributed rank (the small-sliver window path has no extra
+    # exchange to pin)
+    cfg = CrawlConfig(budget_per_host=20, use_bloom=True,
+                      politeness_rank_local_max=0)
     caches: list = []
     ann = _annotate_round(fr, cfg=cfg, bloom=bloom, seen_exact=seen,
                           cache_registry=caches, frontier_rows=500)
@@ -156,12 +169,19 @@ def test_annotate_single_full_frontier_exchange(spark):
         for c in caches:
             c.unpersist()
     assert "SortMergeJoin" not in plan, plan
-    # distinct (domain, __salt) exchanges: 1 in the cache build + 1 on
-    # the hot-domain sliver — never a third
+    # executed (domain, __salt) exchanges: 1 in the cache build + 1 on
+    # the hot-domain sliver (phase-1 window) — never a third
     ex = re.findall(
-        r"Exchange hashpartitioning\(domain#\d+, __salt#\d+L?, \d+\),"
-        r" [A-Z_]+, \[plan_id=(\d+)\]", plan)
-    assert len(set(ex)) <= 2, plan
+        r"ShuffleQueryStage \d+[^\n]*\n\s*\+- Exchange hashpartitioning"
+        r"\(domain#\d+, __salt#\d+L?, \d+\), [A-Z_]+, \[plan_id=(\d+)\]",
+        plan)
+    assert 1 <= len(set(ex)) <= 2, plan
+    # the distributed politeness rank range-partitions the phase-1
+    # survivors (sliver subset) — it must run, and only once
+    rng = re.findall(
+        r"ShuffleQueryStage \d+[^\n]*\n\s*\+- Exchange rangepartitioning"
+        r"\(domain#\d+ [^)]*\), [A-Z_]+, \[plan_id=(\d+)\]", plan)
+    assert len(set(rng)) == 1, plan
     # and the frontier is cached exactly once (one InMemoryRelation id):
     # every downstream consumer (confirm sliver, hot count, cold branch,
     # hot branch) reads the cache, so the scan+gate+window runs once
