@@ -155,16 +155,15 @@ class CrawlConfig:
     # — no per-round broadcast build, no corpus exchange, no corpus
     # sort (plan pinned by tests/test_fetch_bucketed.py)
     fetch_join: str = "auto"
-    # politeness phase-2 strategy cutover: when the bounded hot-sliver
-    # survivor estimate (sum over hot domains of min(eligible_count,
-    # salt_buckets * budget)) stays at or under this, rank survivors
-    # with one per-domain window (a single task sorts the sliver —
-    # sub-second at this size, no extra caches or driver action);
-    # above it, compute the same exact rank distributively
-    # (range-partition + per-partition offsets) so no single task ever
-    # sorts a hot domain's full sliver (the Amdahl term measured at
-    # 0.39 efficiency on the binding-budget spot pair)
-    politeness_rank_local_max: int = 1 << 18
+    # politeness phase-2 strategy cutover, keyed on the free driver-side
+    # frontier-size estimate (an upper bound on any hot sliver): at or
+    # under this, rank survivors with one per-domain window (a single
+    # task sorts the sliver — sub-second at this size, no extra
+    # caches); above it, compute the same exact rank distributively
+    # (range-partition + per-partition offsets, all lazy) so no single
+    # task ever sorts a hot domain's full sliver (the Amdahl term
+    # measured at 0.39 efficiency on the binding-budget spot pair)
+    politeness_rank_local_max: int = 1 << 16
     # JVM-side payload pre-projection (SQL expression over `html`,
     # evaluated inside the scan pipeline BEFORE the Arrow crossing): when
     # it yields a non-empty string, that string replaces the page payload
@@ -456,26 +455,11 @@ def _annotate_round(
         # the long tail of small rounds hit this)
         df = df.withColumn("__sched", F.col("__eligible")).select(*out_cols)
     else:
-        # hot-domain detection collects counts to the driver — O(hot
-        # domains) rows off a map-side-combined agg over the cached
-        # frontier. The counts drive two decisions the plan can't make
-        # lazily: skip ALL politeness machinery when no domain is hot
-        # (most rounds of a broad crawl), and pick the phase-2 rank
-        # strategy from the bounded sliver size.
-        hot_rows = (df.filter(F.col("__eligible"))
-                    .groupBy("domain").agg(F.count(F.lit(1)).alias("__n"))
-                    .filter(F.col("__n") > cfg.budget_per_host)
-                    .collect())
-        if not hot_rows:
-            df = (df.withColumn("__sched", F.col("__eligible"))
-                  .select(*out_cols))
-            return _annotate_finish(df)
-        cap = cfg.salt_buckets * cfg.budget_per_host
-        sliver_est = sum(min(r["__n"], cap) for r in hot_rows)
-        hot = F.broadcast(spark.createDataFrame(
-            [(r["domain"],) for r in hot_rows], "domain string")
-            .withColumn("__hot", F.lit(True)))
-        df = df.join(hot, "domain", "left")
+        hot = (df.filter(F.col("__eligible"))
+               .groupBy("domain").agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > cfg.budget_per_host)
+               .select("domain").withColumn("__hot", F.lit(True)))
+        df = df.join(F.broadcast(hot), "domain", "left")
 
         cold = df.filter(F.col("__hot").isNull()).withColumn(
             "__sched", F.col("__eligible"))
@@ -491,10 +475,18 @@ def _annotate_round(
         # Phase 2: global per-domain top-budget over the phase-1
         # survivors (phase 1 bounds any domain's survivor count to
         # salt_buckets * budget, so pruning first is lossless — a row
-        # cut in its bucket cannot be in the global top-budget).
-        if sliver_est <= cfg.politeness_rank_local_max:
-            # small sliver: one per-domain window — a single task sorts
-            # at most sliver_est pre-bounded rows
+        # cut in its bucket cannot be in the global top-budget). The
+        # strategy cutover keys on frontier_rows — the free driver-side
+        # estimate the round loop already carries (links + deferred
+        # observation) — because the hot-sliver size is bounded by it;
+        # a driver action here would serialize the prestaged annotate
+        # into multiple synchronized jobs (measured: the eager variant
+        # held the binding-budget commit window at 2->8 efficiency
+        # 0.48 — near-flat — where the whole path must be lazy so the
+        # politeness rank fuses into the staged-annotate write job).
+        if (frontier_rows or 0) <= cfg.politeness_rank_local_max:
+            # small frontier: one per-domain window — a single task
+            # sorts at most the (pre-bounded) sliver
             w2 = Window.partitionBy("domain").orderBy(
                 F.desc("__surv"), F.desc("priority"), F.asc("url_canon"))
             hotr = (hotr.withColumn("__rn2", F.row_number().over(w2))
@@ -505,23 +497,28 @@ def _annotate_round(
             df = cold.select(*out_cols).unionByName(
                 hotr.select(*out_cols))
             return _annotate_finish(df)
-        # large sliver: a plain Window.partitionBy("domain") would
+        # large frontier: a plain Window.partitionBy("domain") would
         # funnel every survivor of a hot domain through ONE task —
         # measured as the term that capped the binding-budget 2->8 spot
         # at 0.39 (one core sorts while the rest idle). Compute the
-        # EXACT rank distributively instead: range-partition the
-        # survivors on the total order (domain, priority desc,
-        # url_canon — strict: url_canon is unique among eligible rows
-        # after the dup window), sort within partitions, then global
-        # rank = rows of the same domain in earlier partitions (a tiny
-        # per-(partition, domain) count collected to the driver) + the
-        # row's offset inside its domain's contiguous block
-        # (monotonically_increasing_id minus the block's min — exact
-        # because partitions are sorted). Every stage is parallel; the
-        # driver sees only O(partitions x hot domains) rows.
+        # EXACT rank distributively instead, fully lazily:
+        # range-partition the survivors on the total order
+        # (domain, priority desc, url_canon — strict: url_canon is
+        # unique among eligible rows after the dup window), sort within
+        # partitions, then global rank = rows of the same domain in
+        # earlier partitions + the row's offset inside its domain's
+        # contiguous block (monotonically_increasing_id minus the
+        # block's min — exact because partitions are sorted). The
+        # cross-partition offsets come from a per-(partition, domain)
+        # count aggregate — O(partitions x hot domains) rows — ranked
+        # by a window over that TINY frame and broadcast back: no
+        # driver action anywhere, every stage parallel.
         # hotr is cached because the survivor and cut branches both
         # read it — uncached, each recomputes the window with its own
-        # sliver exchange
+        # sliver exchange. monotonically_increasing_id is deterministic
+        # here (fixed partition count, total-order sort), so the two
+        # reads of surv — the offsets aggregate and the join left side
+        # — agree even if a cached partition is recomputed.
         hotr = hotr.persist()
         if cache_registry is not None:
             cache_registry.append(hotr)
@@ -537,18 +534,14 @@ def _annotate_round(
                 .persist())
         if cache_registry is not None:
             cache_registry.append(surv)
-        stats = (surv.groupBy("__pid", "domain")
-                 .agg(F.count(F.lit(1)).alias("__c"),
-                      F.min("__mid").alias("__m0"))
-                 .collect())
-        run: dict = {}
-        offs = []
-        for r in sorted(stats, key=lambda r: (r["domain"], r["__pid"])):
-            offs.append((r["__pid"], r["domain"],
-                         run.get(r["domain"], 0), r["__m0"]))
-            run[r["domain"]] = run.get(r["domain"], 0) + r["__c"]
-        off_df = spark.createDataFrame(
-            offs, "__pid int, domain string, __off long, __m0 long")
+        w_off = (Window.partitionBy("domain").orderBy("__pid")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        off_df = (surv.groupBy("__pid", "domain")
+                  .agg(F.count(F.lit(1)).alias("__c"),
+                       F.min("__mid").alias("__m0"))
+                  .withColumn("__off", F.coalesce(
+                      F.sum("__c").over(w_off), F.lit(0)))
+                  .select("__pid", "domain", "__off", "__m0"))
         surv = (surv.join(F.broadcast(off_df), ["__pid", "domain"])
                 .withColumn("__rank", F.col("__off")
                             + (F.col("__mid") - F.col("__m0")) + F.lit(1))

@@ -567,7 +567,8 @@ def test_politeness_rank_strategies_equivalent(spark):
         cfg = CrawlConfig(budget_per_host=25, use_bloom=False,
                           politeness_rank_local_max=local_max)
         ann = _annotate_round(fr, cfg=cfg, bloom=None, seen_exact=None,
-                              cache_registry=caches)
+                              cache_registry=caches,
+                              frontier_rows=len(rows))
         try:
             return {(r.url_canon, r.status) for r in ann.collect()}
         finally:

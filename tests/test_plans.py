@@ -128,11 +128,13 @@ def test_annotate_single_full_frontier_exchange(spark):
       (it streams into a broadcast-semi probe) — no SortMergeJoin
       anywhere.
 
-    The politeness stats action inside _annotate_round materializes the
-    caches, so AQE prints each cache's plan as "Final Plan" PLUS a
-    never-executed "Initial Plan" copy whose exchanges carry fresh
-    plan_ids — count only exchanges under a ShuffleQueryStage (the
-    nodes that actually ran).
+    The annotate is fully lazy (a driver action inside it would
+    serialize the prestaged annotate into synchronized jobs — measured
+    0.48 commit-window efficiency), so the test executes it once and
+    then reads the final adaptive plan. AQE prints each cache's plan
+    as "Final Plan" PLUS a never-executed "Initial Plan" copy whose
+    exchanges carry fresh plan_ids — count only exchanges under a
+    ShuffleQueryStage (the nodes that actually ran).
     """
     import re
 
@@ -164,6 +166,7 @@ def test_annotate_single_full_frontier_exchange(spark):
     ann = _annotate_round(fr, cfg=cfg, bloom=bloom, seen_exact=seen,
                           cache_registry=caches, frontier_rows=500)
     try:
+        ann.collect()   # execute so AQE finalizes + caches materialize
         plan = ann._jdf.queryExecution().executedPlan().toString()
     finally:
         for c in caches:
