@@ -93,6 +93,11 @@ def article_page(aid: int, links_per_index: int, n_domains: int):
     return url, html, f"{headline}\n{desc}"
 
 
+def article_url(aid: int, links_per_index: int, n_domains: int) -> str:
+    domain = _dom(aid // links_per_index, n_domains)
+    return f"https://{domain}/news/story-{aid}"
+
+
 def index_url(i: int, n_domains: int) -> str:
     domain = _dom(i, n_domains)
     return f"https://{domain}/getsearchdata.cms?pagenumber={i}&query=crisis"
@@ -187,12 +192,26 @@ def gen_bench_pages(
     n_domains: int = 20,
     partitions: int = 64,
     waves: int = 1,
+    phantom_wave: bool = False,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Build (pages, seeds, n_records) for the crawl bench — n_records
-    counts mirror articles plus toi JSON-API records."""
+    counts mirror articles plus toi JSON-API records.
+
+    ``phantom_wave`` adds one extra wave of article pages referenced
+    ONLY by the seed list, so round 0 fetches full article volume like
+    every other round instead of just the wave-0 index chain heads. A
+    5-round bench where round 0 does ~0.3% of a steady round's work is
+    a cold-start artifact: at the 10^10-frontier scale the rule targets
+    (thousands of rounds) no round is volume-starved, and the
+    whole-run throughput estimator should not be dominated by one
+    unrepresentative round. Phantom article ids live above the normal
+    article id space, so urls, domains, and the withheld-page pattern
+    (fetch misses) match the discovered articles exactly."""
     assert n_index % waves == 0, "waves must split n_index evenly"
     n_articles = n_index * links_per_index
     wave_size = n_index // waves if waves > 1 else None
+    n_phantom = (wave_size or n_index) * links_per_index if phantom_wave \
+        else 0
 
     # toi strand sizing: one chain per wave, quarter-wave-sized
     # (~TOI_LIMIT * toi_pages records/round, ~4% of the mirror record
@@ -221,12 +240,20 @@ def gen_bench_pages(
                         continue  # withheld -> fetch miss
                     url, html, text = article_page(aid, links_per_index,
                                                    n_domains)
-                else:
+                elif i < n_index + n_articles + n_toi:
                     tid = i - n_index - n_articles
                     wave, page = tid // toi_pages, tid % toi_pages + 1
                     url = toi_url(wave, page)
                     html = toi_page(wave, page, toi_pages)
                     text = ""
+                else:
+                    # phantom-wave article (seed-only): id space above
+                    # the normal articles, same withheld pattern
+                    aid = n_articles + (i - n_index - n_articles - n_toi)
+                    if aid % MISS_EVERY == 13:
+                        continue  # withheld -> fetch miss
+                    url, html, text = article_page(aid, links_per_index,
+                                                   n_domains)
                 urls.append(url)
                 htmls.append(html.encode())
                 texts.append(text)
@@ -236,7 +263,7 @@ def gen_bench_pages(
                 "html": htmls, "text": texts,
             })
 
-    total = n_index + n_articles + n_toi
+    total = n_index + n_articles + n_toi + n_phantom
     # interleave page kinds across output files: a contiguous range
     # would put every index page (whose extraction carries the whole
     # 300-link fan-out + canonicalization) into ONE file, so a handful
@@ -273,5 +300,19 @@ def gen_bench_pages(
         .selectExpr("url", "'crisis' as keyword", "'toi' as source",
                     "map('keyword', 'crisis') as meta")
     seeds = seeds.unionByName(toi_seed)
-    n_records = n_articles + waves * toi_pages * TOI_LIMIT
+    if n_phantom:
+        def gen_pseeds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                urls = [article_url(n_articles + int(p), links_per_index,
+                                    n_domains) for p in pdf["id"]]
+                yield pd.DataFrame({"url": urls})
+
+        pseeds = (
+            spark.range(0, n_phantom, 1, 8)
+            .mapInPandas(gen_pseeds, "url string")
+            .selectExpr("url", "'crisis' as keyword", "'mirror' as source",
+                        "map('keyword', 'crisis') as meta")
+        )
+        seeds = seeds.unionByName(pseeds)
+    n_records = n_articles + n_phantom + waves * toi_pages * TOI_LIMIT
     return pages, seeds, n_records
