@@ -164,6 +164,14 @@ class CrawlConfig:
     # task ever sorts a hot domain's full sliver (the Amdahl term
     # measured at 0.39 efficiency on the binding-budget spot pair)
     politeness_rank_local_max: int = 1 << 16
+    # politeness phase-2 middle tier: when salt_buckets * budget keys
+    # fit one task comfortably (the realistic-budget regime — the
+    # reference runs budget=50), each hot domain's exact B-th order key
+    # is computed with two bounded key-only aggregates and broadcast
+    # back; full-width rows never shuffle and nothing persists or
+    # samples. Above this, the range-partition exact rank takes over
+    # (no single task ever holds a domain's full key set).
+    politeness_threshold_keys_max: int = 1 << 22
     # JVM-side payload pre-projection (SQL expression over `html`,
     # evaluated inside the scan pipeline BEFORE the Arrow crossing): when
     # it yields a non-empty string, that string replaces the page payload
@@ -433,18 +441,16 @@ def _annotate_round(
         F.col("__allowed") & F.col("__first") & ~F.col("__seen"),
     )
 
-    # --- politeness: salted two-phase per-host top-k, SPLIT-UNION -----
-    # Only domains whose eligible count exceeds the budget need ranking
-    # at all: for an under-budget domain every eligible row is provably
-    # scheduled (phase-1 rank <= per-bucket eligible count <= budget,
-    # and phase 2 ranks all survivors within the budget), so those rows
-    # bypass both windows. The over-budget set is found with one
-    # map-side-combined count and broadcast back; on a web frontier hot
-    # hosts are few, so phase 2's full-domain sort — previously a
-    # whole-frontier exchange — now moves only the hot sliver. Phase 1
-    # bounds any hot domain's phase-2 window input to
-    # salt_buckets*budget rows, so one hot host (30%+ of a web
-    # frontier) cannot funnel through one task.
+    # --- politeness: exact per-host top-budget ------------------------
+    # Three physical strategies compute the same scheduled set — defined
+    # by the strict per-domain total order (priority desc, url_canon
+    # asc; url_canon is unique among eligible rows after the dup window)
+    # — cut over on free driver-side bounds, never a driver action (a
+    # driver action here would serialize the prestaged annotate into
+    # multiple synchronized jobs — measured: the eager variant held the
+    # binding-budget commit window at 2->8 efficiency 0.48 — where the
+    # whole path must stay lazy so the politeness rank fuses into the
+    # staged-annotate write job).
     out_cols = [*FRONTIER_COLS, "__allowed", "__first", "__seen", "__sched"]
     if frontier_rows is not None and frontier_rows <= cfg.budget_per_host:
         # whole-frontier fast path: the frontier row count (exact — it
@@ -454,102 +460,152 @@ def _annotate_round(
         # compute a constant — skip it all (throughput-mode rounds and
         # the long tail of small rounds hit this)
         df = df.withColumn("__sched", F.col("__eligible")).select(*out_cols)
-    else:
-        hot = (df.filter(F.col("__eligible"))
-               .groupBy("domain").agg(F.count(F.lit(1)).alias("__n"))
-               .filter(F.col("__n") > cfg.budget_per_host)
-               .select("domain").withColumn("__hot", F.lit(True)))
-        df = df.join(F.broadcast(hot), "domain", "left")
+        return _annotate_finish(df)
+    if cfg.salt_buckets * cfg.budget_per_host \
+            <= cfg.politeness_threshold_keys_max:
+        # realistic budgets (the reference operates at budget=50,
+        # config.toml:10): a scheduled row is exactly one whose ORDER
+        # KEY is at or under its domain's B-th best eligible key, so
+        # compute only that per-domain threshold — one two-level
+        # JVM-side aggregate over (priority, url_canon) KEYS alone —
+        # keep it for the (few, on a web frontier) domains whose
+        # eligible count exceeds the budget, broadcast the
+        # one-row-per-hot-domain result back, and filter. Full-width
+        # rows never shuffle, nothing persists, no stage samples
+        # (repartitionByRange's range-sampling job was a flat
+        # ~per-round term the binding-budget 2->8 spot paid at both
+        # core levels), and there is no cold/hot split-union — the
+        # cached frontier streams through ONE branch with a broadcast
+        # left join (under-budget domains simply have no threshold
+        # row). Per-(domain, salt) top-B truncation before the merge
+        # is lossless — a key cut in its bucket has >= B better keys
+        # in that bucket alone — and bounds the per-domain merge task
+        # to salt_buckets * B keys (<= politeness_threshold_keys_max
+        # by this cutover; the truncating agg task itself holds one
+        # bucket's eligible keys, the same bound the phase-1 window
+        # sort holds in the other tiers). When a domain is over
+        # budget its merged array holds >= B keys (each bucket
+        # contributes min(bucket_n, B), so the truncated sum is
+        # >= min(n, B)), hence its threshold is never null.
+        b = cfg.budget_per_host
+        key = F.struct((-F.col("priority")).alias("np"),
+                       F.col("url_canon").alias("uc"))
+        thr = (df.filter(F.col("__eligible"))
+               .select("domain", "__salt", key.alias("__k"))
+               .groupBy("domain", "__salt")
+               .agg(F.slice(F.array_sort(F.collect_list("__k")),
+                            1, b).alias("__ks"),
+                    F.count(F.lit(1)).alias("__bn"))
+               .groupBy("domain")
+               .agg(F.try_element_at(
+                        F.array_sort(F.flatten(F.collect_list("__ks"))),
+                        F.lit(b)).alias("__thr"),
+                    F.sum("__bn").alias("__n"))
+               .filter(F.col("__n") > b)
+               .select("domain", "__thr"))
+        df = (df.join(F.broadcast(thr), "domain", "left")
+              .withColumn(
+                  "__sched",
+                  F.col("__eligible")
+                  & (F.col("__thr").isNull()     # domain under budget
+                     | (key <= F.col("__thr"))))
+              .select(*out_cols))
+        return _annotate_finish(df)
 
-        cold = df.filter(F.col("__hot").isNull()).withColumn(
-            "__sched", F.col("__eligible"))
-        hotr = df.filter(F.col("__hot").isNotNull())
-        order = [F.desc("__eligible"), F.desc("priority"),
-                 F.asc("url_canon")]
-        w1 = Window.partitionBy("domain", "__salt").orderBy(*order)
-        hotr = (hotr.withColumn("__rn1", F.row_number().over(w1))
+    # window tiers: only domains whose eligible count exceeds the
+    # budget need ranking at all — for an under-budget domain every
+    # eligible row is provably scheduled (phase-1 rank <= per-bucket
+    # eligible count <= budget, and phase 2 ranks all survivors within
+    # the budget), so those rows bypass both windows. The over-budget
+    # set is found with one map-side-combined count and broadcast back;
+    # on a web frontier hot hosts are few, so phase 2's full-domain
+    # sort — previously a whole-frontier exchange — moves only the hot
+    # sliver. Phase 1 bounds any hot domain's phase-2 input to
+    # salt_buckets*budget rows, so one hot host (30%+ of a web
+    # frontier) cannot funnel through one task.
+    hot = (df.filter(F.col("__eligible"))
+           .groupBy("domain").agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") > cfg.budget_per_host)
+           .select("domain").withColumn("__hot", F.lit(True)))
+    df = df.join(F.broadcast(hot), "domain", "left")
+
+    cold = df.filter(F.col("__hot").isNull()).withColumn(
+        "__sched", F.col("__eligible"))
+    hotr = df.filter(F.col("__hot").isNotNull())
+    order = [F.desc("__eligible"), F.desc("priority"),
+             F.asc("url_canon")]
+    w1 = Window.partitionBy("domain", "__salt").orderBy(*order)
+    hotr = (hotr.withColumn("__rn1", F.row_number().over(w1))
+            .withColumn(
+                "__surv",
+                F.col("__eligible")
+                & (F.col("__rn1") <= cfg.budget_per_host)))
+    if (frontier_rows or 0) <= cfg.politeness_rank_local_max:
+        # small frontier: one per-domain window — a single task sorts
+        # at most the (pre-bounded) sliver
+        w2 = Window.partitionBy("domain").orderBy(
+            F.desc("__surv"), F.desc("priority"), F.asc("url_canon"))
+        hotr = (hotr.withColumn("__rn2", F.row_number().over(w2))
                 .withColumn(
-                    "__surv",
-                    F.col("__eligible")
-                    & (F.col("__rn1") <= cfg.budget_per_host)))
-        # Phase 2: global per-domain top-budget over the phase-1
-        # survivors (phase 1 bounds any domain's survivor count to
-        # salt_buckets * budget, so pruning first is lossless — a row
-        # cut in its bucket cannot be in the global top-budget). The
-        # strategy cutover keys on frontier_rows — the free driver-side
-        # estimate the round loop already carries (links + deferred
-        # observation) — because the hot-sliver size is bounded by it;
-        # a driver action here would serialize the prestaged annotate
-        # into multiple synchronized jobs (measured: the eager variant
-        # held the binding-budget commit window at 2->8 efficiency
-        # 0.48 — near-flat — where the whole path must be lazy so the
-        # politeness rank fuses into the staged-annotate write job).
-        if (frontier_rows or 0) <= cfg.politeness_rank_local_max:
-            # small frontier: one per-domain window — a single task
-            # sorts at most the (pre-bounded) sliver
-            w2 = Window.partitionBy("domain").orderBy(
-                F.desc("__surv"), F.desc("priority"), F.asc("url_canon"))
-            hotr = (hotr.withColumn("__rn2", F.row_number().over(w2))
-                    .withColumn(
-                        "__sched",
-                        F.col("__surv")
-                        & (F.col("__rn2") <= cfg.budget_per_host)))
-            df = cold.select(*out_cols).unionByName(
-                hotr.select(*out_cols))
-            return _annotate_finish(df)
-        # large frontier: a plain Window.partitionBy("domain") would
-        # funnel every survivor of a hot domain through ONE task —
-        # measured as the term that capped the binding-budget 2->8 spot
-        # at 0.39 (one core sorts while the rest idle). Compute the
-        # EXACT rank distributively instead, fully lazily:
-        # range-partition the survivors on the total order
-        # (domain, priority desc, url_canon — strict: url_canon is
-        # unique among eligible rows after the dup window), sort within
-        # partitions, then global rank = rows of the same domain in
-        # earlier partitions + the row's offset inside its domain's
-        # contiguous block (monotonically_increasing_id minus the
-        # block's min — exact because partitions are sorted). The
-        # cross-partition offsets come from a per-(partition, domain)
-        # count aggregate — O(partitions x hot domains) rows — ranked
-        # by a window over that TINY frame and broadcast back: no
-        # driver action anywhere, every stage parallel.
-        # hotr is cached because the survivor and cut branches both
-        # read it — uncached, each recomputes the window with its own
-        # sliver exchange. monotonically_increasing_id is deterministic
-        # here (fixed partition count, total-order sort), so the two
-        # reads of surv — the offsets aggregate and the join left side
-        # — agree even if a cached partition is recomputed.
-        hotr = hotr.persist()
-        if cache_registry is not None:
-            cache_registry.append(hotr)
-        surv = hotr.filter(F.col("__surv"))
-        rest = hotr.filter(~F.col("__surv")).withColumn(
-            "__sched", F.lit(False))
-        p_n = spark.sparkContext.defaultParallelism * 2
-        ord2 = [F.asc("domain"), F.desc("priority"), F.asc("url_canon")]
-        surv = (surv.repartitionByRange(p_n, *ord2)
-                .sortWithinPartitions(*ord2)
-                .withColumn("__pid", F.spark_partition_id())
-                .withColumn("__mid", F.monotonically_increasing_id())
-                .persist())
-        if cache_registry is not None:
-            cache_registry.append(surv)
-        w_off = (Window.partitionBy("domain").orderBy("__pid")
-                 .rowsBetween(Window.unboundedPreceding, -1))
-        off_df = (surv.groupBy("__pid", "domain")
-                  .agg(F.count(F.lit(1)).alias("__c"),
-                       F.min("__mid").alias("__m0"))
-                  .withColumn("__off", F.coalesce(
-                      F.sum("__c").over(w_off), F.lit(0)))
-                  .select("__pid", "domain", "__off", "__m0"))
-        surv = (surv.join(F.broadcast(off_df), ["__pid", "domain"])
-                .withColumn("__rank", F.col("__off")
-                            + (F.col("__mid") - F.col("__m0")) + F.lit(1))
-                .withColumn("__sched",
-                            F.col("__rank") <= cfg.budget_per_host))
-        df = (cold.select(*out_cols)
-              .unionByName(surv.select(*out_cols))
-              .unionByName(rest.select(*out_cols)))
+                    "__sched",
+                    F.col("__surv")
+                    & (F.col("__rn2") <= cfg.budget_per_host)))
+        df = cold.select(*out_cols).unionByName(
+            hotr.select(*out_cols))
+        return _annotate_finish(df)
+    # huge budgets: a plain Window.partitionBy("domain") would
+    # funnel every survivor of a hot domain through ONE task —
+    # measured as the term that capped the binding-budget 2->8 spot
+    # at 0.39 (one core sorts while the rest idle). Compute the
+    # EXACT rank distributively instead, fully lazily:
+    # range-partition the survivors on the total order
+    # (domain, priority desc, url_canon — strict: url_canon is
+    # unique among eligible rows after the dup window), sort within
+    # partitions, then global rank = rows of the same domain in
+    # earlier partitions + the row's offset inside its domain's
+    # contiguous block (monotonically_increasing_id minus the
+    # block's min — exact because partitions are sorted). The
+    # cross-partition offsets come from a per-(partition, domain)
+    # count aggregate — O(partitions x hot domains) rows — ranked
+    # by a window over that TINY frame and broadcast back: no
+    # driver action anywhere, every stage parallel.
+    # hotr is cached because the survivor and cut branches both
+    # read it — uncached, each recomputes the window with its own
+    # sliver exchange. monotonically_increasing_id is deterministic
+    # here (fixed partition count, total-order sort), so the two
+    # reads of surv — the offsets aggregate and the join left side
+    # — agree even if a cached partition is recomputed.
+    hotr = hotr.persist()
+    if cache_registry is not None:
+        cache_registry.append(hotr)
+    surv = hotr.filter(F.col("__surv"))
+    rest = hotr.filter(~F.col("__surv")).withColumn(
+        "__sched", F.lit(False))
+    p_n = spark.sparkContext.defaultParallelism * 2
+    ord2 = [F.asc("domain"), F.desc("priority"), F.asc("url_canon")]
+    surv = (surv.repartitionByRange(p_n, *ord2)
+            .sortWithinPartitions(*ord2)
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .persist())
+    if cache_registry is not None:
+        cache_registry.append(surv)
+    w_off = (Window.partitionBy("domain").orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off_df = (surv.groupBy("__pid", "domain")
+              .agg(F.count(F.lit(1)).alias("__c"),
+                   F.min("__mid").alias("__m0"))
+              .withColumn("__off", F.coalesce(
+                  F.sum("__c").over(w_off), F.lit(0)))
+              .select("__pid", "domain", "__off", "__m0"))
+    surv = (surv.join(F.broadcast(off_df), ["__pid", "domain"])
+            .withColumn("__rank", F.col("__off")
+                        + (F.col("__mid") - F.col("__m0")) + F.lit(1))
+            .withColumn("__sched",
+                        F.col("__rank") <= cfg.budget_per_host))
+    df = (cold.select(*out_cols)
+          .unionByName(surv.select(*out_cols))
+          .unionByName(rest.select(*out_cols)))
 
     return _annotate_finish(df)
 

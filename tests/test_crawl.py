@@ -532,11 +532,12 @@ def test_debug_invariants_catch_domain_corruption(spark, site, engine,
 
 
 def test_politeness_rank_strategies_equivalent(spark):
-    """The two phase-2 rank strategies — small-sliver per-domain window
-    vs the at-scale distributed exact rank — must produce identical
-    per-URL statuses on a skewed frontier (one domain far over budget,
-    several at the margin, cold tail). The cutover is a physical choice
-    only; the scheduled set is defined by the same strict total order
+    """The three phase-2 rank strategies — small-sliver per-domain
+    window, key-threshold broadcast (realistic budgets), and the
+    at-scale distributed exact rank — must produce identical per-URL
+    statuses on a skewed frontier (one domain far over budget, several
+    at the margin, cold tail). The cutover is a physical choice only;
+    the scheduled set is defined by the same strict total order
     (domain, priority desc, url_canon)."""
     from pyspark.sql import functions as F
 
@@ -562,10 +563,11 @@ def test_politeness_rank_strategies_equivalent(spark):
               "priority double, depth int, via string, "
               "meta map<string,string>")
 
-    def statuses(local_max):
+    def statuses(local_max, keys_max=1 << 22):
         caches: list = []
         cfg = CrawlConfig(budget_per_host=25, use_bloom=False,
-                          politeness_rank_local_max=local_max)
+                          politeness_rank_local_max=local_max,
+                          politeness_threshold_keys_max=keys_max)
         ann = _annotate_round(fr, cfg=cfg, bloom=None, seen_exact=None,
                               cache_registry=caches,
                               frontier_rows=len(rows))
@@ -575,8 +577,10 @@ def test_politeness_rank_strategies_equivalent(spark):
             for c in caches:
                 c.unpersist()
 
-    windowed = statuses(1 << 30)
-    distributed = statuses(0)
+    threshold = statuses(0)            # default keys_max -> threshold tier
+    windowed = statuses(1 << 30, keys_max=0)      # force per-domain window
+    distributed = statuses(0, keys_max=0)     # force range-partition rank
+    assert windowed == threshold
     assert windowed == distributed
     sched = {u for u, s in windowed if s == "scheduled"}
     assert sum(u.startswith("https://hot.") for u in sched) == 25

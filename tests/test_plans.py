@@ -157,11 +157,13 @@ def test_annotate_single_full_frontier_exchange(spark):
     # budget 20 < ~47 post-seen eligible rows per domain, so every
     # domain is hot and the sliver path (w1 + distributed rank) really
     # executes — at budget 50 AQE proves the sliver empty and the pin
-    # would not cover it; rank_local_max=0 forces the at-scale
-    # distributed rank (the small-sliver window path has no extra
-    # exchange to pin)
+    # would not cover it; rank_local_max=0 skips the small-sliver
+    # window and threshold_keys_max=0 skips the key-threshold tier
+    # (pinned by test_annotate_threshold_tier_plan), forcing the
+    # at-scale range-partition rank
     cfg = CrawlConfig(budget_per_host=20, use_bloom=True,
-                      politeness_rank_local_max=0)
+                      politeness_rank_local_max=0,
+                      politeness_threshold_keys_max=0)
     caches: list = []
     ann = _annotate_round(fr, cfg=cfg, bloom=bloom, seen_exact=seen,
                           cache_registry=caches, frontier_rows=500)
@@ -190,6 +192,59 @@ def test_annotate_single_full_frontier_exchange(spark):
     # hot branch) reads the cache, so the scan+gate+window runs once
     assert "InMemoryRelation" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_annotate_threshold_tier_plan(spark):
+    """The key-threshold politeness tier (realistic budgets — the
+    round-5 default for binding rounds) must add NO heavyweight
+    physical machinery to the annotate plan: no range-sampling
+    exchange, no sort-merge join, no second cache — the only extra
+    work is the key-only threshold aggregate whose one-row-per-domain
+    result broadcasts back. Executed-plan pin, same protocol as
+    test_annotate_single_full_frontier_exchange."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from siren_spark.crawl import (
+        CrawlConfig, _annotate_round, _seeds_to_frontier,
+    )
+    from siren_spark.operators.seen import build_bloom
+
+    seeds = spark.createDataFrame(
+        [(f"https://d{i % 7}.example/p/{i}",) for i in range(500)],
+        "url string")
+    fr = _seeds_to_frontier(seeds)
+    seen = (spark.createDataFrame(
+        [(f"https://d{i % 7}.example/p/{i}",) for i in range(0, 500, 3)],
+        "url string").select(F.col("url").alias("url_canon")))
+    bloom = build_bloom(seen, "url_canon",
+                        bits_per_bucket=1 << 14, buckets=4)
+    cfg = CrawlConfig(budget_per_host=20, use_bloom=True,
+                      politeness_rank_local_max=0)   # default keys_max
+    caches: list = []
+    ann = _annotate_round(fr, cfg=cfg, bloom=bloom, seen_exact=seen,
+                          cache_registry=caches, frontier_rows=500)
+    try:
+        ann.collect()
+        plan = ann._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for c in caches:
+            c.unpersist()
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # (domain, __salt) exchanges: the cached frontier build + the
+    # key-only threshold aggregate's shuffle — never a full-width third
+    ex = re.findall(
+        r"ShuffleQueryStage \d+[^\n]*\n\s*\+- Exchange hashpartitioning"
+        r"\(domain#\d+, __salt#\d+L?, \d+\), [A-Z_]+, \[plan_id=(\d+)\]",
+        plan)
+    assert 1 <= len(set(ex)) <= 2, plan
+    # exactly the one upstream frontier cache — the threshold tier
+    # itself persists nothing (the range tier registers two more)
+    assert len(caches) == 1, [str(c) for c in caches]
+    # the per-domain threshold comes back as a broadcast hash join
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_crawl_gate_is_self_checking(spark):
