@@ -95,12 +95,36 @@ def _phase_crawl(master_cores: str) -> None:
             .write.format("noop").mode("overwrite").save()
         pages.select(F.length("html")).write.format("noop") \
             .mode("overwrite").save()
+        # warm the engine path end-to-end (extract kernels, Arrow
+        # pipeline, window/join codegen, checkpoint writes) exactly as
+        # bench.py does, so round 0 measures crawl work rather than
+        # first-use JIT/fork costs — including the politeness window
+        # codegen this spot exists to measure
+        from siren_spark.testing.frames import pages_df, seeds_df
+        from siren_spark.testing.sitegen import (
+            WINDOW_END, WINDOW_START, SiteSpec, build_site,
+        )
+        wsite = build_site(SiteSpec(mirror_seed_range=(10, 12)))
+        wcfg = CrawlConfig(
+            budget_per_host=5, window_start=WINDOW_START,
+            window_end=WINDOW_END, use_bloom=True,
+            bloom_bits=1 << 16, bloom_buckets=4, max_rounds=2)
+        wck = tempfile.mkdtemp(prefix="siren_spot_warm_")
+        try:
+            run_crawl(spark, pages_df(spark, wsite.pages),
+                      seeds_df(spark, wsite.seeds), wcfg, wck,
+                      robots=robots)
+        finally:
+            shutil.rmtree(wck, ignore_errors=True)
+        import bench
+        jiff0 = bench._cpu_jiffies()
         t0 = time.time()
         res = run_crawl(spark, pages, seeds, cfg, ckpt, robots=robots)
+        dt = time.time() - t0
+        cpu_mix = bench._cpu_mix(jiff0, bench._cpu_jiffies())
         agg = {r["metric"]: int(r["n"]) for r in
                (res.counters.groupBy("metric").agg(F.sum("n").alias("n"))
                 .collect())}
-        dt = time.time() - t0
         fetched = agg.get("fetched", 0)
         extracted = agg.get("records", 0)
         ss_sec = sum(res.round_secs[1:]) if res.round_secs else 0.0
@@ -119,6 +143,7 @@ def _phase_crawl(master_cores: str) -> None:
             "deferred_total": agg.get("deferred", 0),
             "robots_blocked_total": agg.get("robots_blocked", 0),
             "budget_per_host": BUDGET,
+            "cpu_mix": cpu_mix,
         }))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -147,17 +172,44 @@ def main() -> None:
     def best(n: int, key: str) -> float:
         return max(a.get(key) or 0.0 for a in attempts[n])
 
+    def minround(n: int) -> float | None:
+        """Steady rate composed from the per-round MINIMUM across
+        attempts — the steal-robust estimator bench.py records: the
+        host's multi-minute steal storms straddle whole attempts, and
+        the per-round min splices the least-stolen execution of each
+        round into one synthetic clean run (urls per round are
+        identical across attempts — deterministic web)."""
+        rs = [a["round_secs"] for a in attempts[n] if a.get("round_secs")]
+        if not rs:
+            return None
+        rounds = min(len(r) for r in rs)
+        if rounds < 2:
+            return None
+        urls = attempts[n][0].get("round_urls") or []
+        steady_urls = sum(urls[1:rounds])
+        steady_sec = sum(min(r[i] for r in rs) for i in range(1, rounds))
+        return steady_urls / steady_sec if steady_sec else None
+
+    mr2, mr8 = minround(2), minround(8)
     summary = {
         "kind": "spot_politeness_robots_binding",
         "budget_per_host": BUDGET,
         "attempts": attempts,
         "steady_urls_per_sec": {"2": best(2, "steady_urls_per_sec"),
                                 "8": best(8, "steady_urls_per_sec")},
+        "minround_steady_urls_per_sec": {
+            "2": round(mr2, 1) if mr2 else None,
+            "8": round(mr8, 1) if mr8 else None},
         "eff_2_to_8_steady": round(
             best(8, "steady_urls_per_sec")
             / best(2, "steady_urls_per_sec") / 4.0, 3),
+        "eff_2_to_8_steady_minround": (
+            round(mr8 / mr2 / 4.0, 3) if mr2 and mr8 else None),
         "eff_2_to_8_whole": round(
             best(8, "urls_per_sec") / best(2, "urls_per_sec") / 4.0, 3),
+        "attempts_steal_pct": {
+            str(n): [(a.get("cpu_mix") or {}).get("steal_pct")
+                     for a in attempts[n]] for n in attempts},
         "note": ("same bench web as bench.py, but with a binding "
                  "politeness budget (hot domain > budget every steady "
                  "round -> split-union count/join/window run) and a "
