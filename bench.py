@@ -54,7 +54,14 @@ N_INDEX = int(os.environ.get("SIREN_BENCH_INDEX", "8000"))
 # every round carries full volume (the thousands-of-rounds regime the
 # rule targets); the LINKS trim keeps total attempt cost ~flat
 # (5 full rounds x 505k ~= old 4 x 625k).
-LINKS = int(os.environ.get("SIREN_BENCH_LINKS", "240"))
+# Round 5b: LINKS 240 -> 200 funds best-of-THREE interleaved pairs in
+# the same 2400 s budget. With two attempts per level the median
+# estimator is the mean of both — one steal-stormed attempt drags it
+# (driver r4 whole-run median 0.794, r5 repo run 0.783, vs steady/best
+# clearing everywhere); with three it is the MIDDLE attempt, immune to
+# any single contaminated run. ~820k-url rounds keep the fixed share
+# well under 15% of an 8-core round.
+LINKS = int(os.environ.get("SIREN_BENCH_LINKS", "200"))
 WAVES = int(os.environ.get("SIREN_BENCH_WAVES", "4"))
 PHANTOM = os.environ.get("SIREN_BENCH_PHANTOM", "1") == "1"
 
@@ -391,7 +398,7 @@ def main() -> None:
     # wall-clock cost, never the measured throughput.
     levels = [int(x) for x in os.environ.get(
         "SIREN_BENCH_CORES", "2,8").split(",")]
-    tries = int(os.environ.get("SIREN_BENCH_TRIES", "2"))
+    tries = int(os.environ.get("SIREN_BENCH_TRIES", "3"))
     tries_32 = int(os.environ.get("SIREN_BENCH_TRIES_32", "1"))
     lo_level, hi_level = min(levels), max(levels)
 
