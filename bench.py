@@ -54,16 +54,29 @@ N_INDEX = int(os.environ.get("SIREN_BENCH_INDEX", "8000"))
 # every round carries full volume (the thousands-of-rounds regime the
 # rule targets); the LINKS trim keeps total attempt cost ~flat
 # (5 full rounds x 505k ~= old 4 x 625k).
-# Round 5b: LINKS 240 -> 200 funds best-of-THREE interleaved pairs in
-# the same 2400 s budget. With two attempts per level the median
-# estimator is the mean of both — one steal-stormed attempt drags it
-# (driver r4 whole-run median 0.794, r5 repo run 0.783, vs steady/best
-# clearing everywhere); with three it is the MIDDLE attempt, immune to
-# any single contaminated run. ~820k-url rounds keep the fixed share
-# well under 15% of an 8-core round.
-LINKS = int(os.environ.get("SIREN_BENCH_LINKS", "200"))
+# (Round 5 tried LINKS 200 + best-of-3 to make the median estimator
+# steal-robust; measured and REVERTED: the budget planner dropped the
+# third pair anyway — measured pair cost 715 s, not the ~550 s
+# estimate — and the smaller corpus made the 2-core baseline ~18%
+# faster per URL (2c rounds 57-60 s vs 75-85 s at 4/5 the volume, the
+# two cleanest 2c attempts ever recorded at 0.07/0.21% steal), so
+# every 2->8 estimator LANDED LOWER (best 0.622, minround 0.711) with
+# nothing gained. The min-per-round estimator remains the designed
+# answer to per-attempt steal; the full rejected-run record is kept at
+# /tmp/siren_bench_detail_r5b_rejected.json and in BASELINE.md.)
+LINKS = int(os.environ.get("SIREN_BENCH_LINKS", "240"))
 WAVES = int(os.environ.get("SIREN_BENCH_WAVES", "4"))
 PHANTOM = os.environ.get("SIREN_BENCH_PHANTOM", "1") == "1"
+# Round 5: the measured crawl reads the BUCKETED pages table
+# (bucketBy(N, url_canon) — the stock-Spark stand-in for Iceberg's
+# bucket(N, url_canon) ingest transform the north rule names) with
+# fetch_join='bucketed': only the scheduled side shuffles, no per-round
+# driver broadcast build. Measured same-window vs broadcast:
+# 8c 51,306 vs 44,641 steady urls/s (+15%), 2c 14,715 vs 13,580 (+8%),
+# 2->8 steady 0.872 vs 0.822 — faster at BOTH levels and a better
+# ratio (the broadcast build is a fixed driver-side term the 8-core
+# rounds pay proportionally more for).
+FETCH_BUCKETS = int(os.environ.get("SIREN_BENCH_FETCH_BUCKETS", "32"))
 
 def _cpu_jiffies() -> dict[str, int] | None:
     """Aggregate cpu line from /proc/stat (user..steal), for measuring
@@ -142,6 +155,16 @@ def _phase_gen() -> None:
         phantom_wave=PHANTOM)
     pages.write.mode("overwrite").parquet(f"{BENCH_DATA}/pages")
     seeds.write.mode("overwrite").parquet(f"{BENCH_DATA}/seeds")
+    # the ingest-time bucket layout the measured crawl reads (one corpus
+    # shuffle here, amortized over every attempt of every run — exactly
+    # the Iceberg bucket(N, url_canon) ingest shape). Re-read from
+    # parquet so the bucketize is one shuffle of materialized rows, not
+    # a recomputation of the generator.
+    from siren_spark.sources.pages import BucketedParquetPageStore
+    BucketedParquetPageStore(
+        "bench_pages_bucketed", buckets=FETCH_BUCKETS,
+        path=f"{BENCH_DATA}/pages_bucketed",
+    ).write(spark.read.parquet(f"{BENCH_DATA}/pages"))
     print(json.dumps({"n_articles": n_articles, "n_index": N_INDEX,
                       "waves": WAVES}))
 
@@ -165,12 +188,16 @@ def _phase_crawl(master_cores: str) -> None:
             "spark.sql.files.maxPartitionBytes": str(3 * 1024 * 1024),
         },
     )
-    pages = spark.read.parquet(f"{BENCH_DATA}/pages")
+    from siren_spark.sources.pages import BucketedParquetPageStore
+    pages = BucketedParquetPageStore(
+        "bench_pages_bucketed", buckets=FETCH_BUCKETS,
+        path=f"{BENCH_DATA}/pages_bucketed").read(spark)
     seeds = spark.read.parquet(f"{BENCH_DATA}/seeds")
     cfg = CrawlConfig(
         budget_per_host=1_000_000_000,  # throughput mode: politeness unthrottled
         salt_buckets=max(int(master_cores), 8),
         use_bloom=True, bloom_bits=1 << 22, bloom_buckets=16,
+        fetch_join="bucketed",
         pages_partitions=None,
         # payload_projection (the JVM-side ld+json pre-projection) is
         # deliberately NOT enabled: measured 16.0k vs 19.1k steady
@@ -373,7 +400,7 @@ def main() -> None:
     # generated as snappy (scan scaling characteristics differ)
     want = {"n_index": N_INDEX, "links": LINKS, "waves": WAVES,
             "phantom": PHANTOM, "codec": "zstd", "layout": "interleaved",
-            "dialects": "mirror+toi-q4"}
+            "dialects": "mirror+toi-q4", "fetch": f"bucketed{FETCH_BUCKETS}"}
     gen = None
     if os.path.exists(marker):
         with open(marker) as f:
@@ -398,7 +425,7 @@ def main() -> None:
     # wall-clock cost, never the measured throughput.
     levels = [int(x) for x in os.environ.get(
         "SIREN_BENCH_CORES", "2,8").split(",")]
-    tries = int(os.environ.get("SIREN_BENCH_TRIES", "3"))
+    tries = int(os.environ.get("SIREN_BENCH_TRIES", "2"))
     tries_32 = int(os.environ.get("SIREN_BENCH_TRIES_32", "1"))
     lo_level, hi_level = min(levels), max(levels)
 
@@ -529,6 +556,21 @@ def main() -> None:
             # contamination record for every number above
             "attempts_steal_pct": {
                 str(k): [(a.get("cpu_mix") or {}).get("steal_pct")
+                         for a in v]
+                for k, v in attempts.items() if v},
+            # the same steal normalized to the attempt's OWN cores:
+            # steal jiffies accrue only on runnable-not-running vCPUs,
+            # i.e. essentially the attempt's busy cores — so 2.1% of
+            # the 32-CPU guest during a local[2] attempt is ~34% of
+            # that attempt's compute, while the identical host noise
+            # during a local[8] attempt is ~8%. Whole-guest steal
+            # therefore UNDERSTATES low-level contamination ~4x
+            # relative to the high level, deflating the lo baseline
+            # and INFLATING measured N->4N efficiency — the round-5
+            # audit caught exactly this (BASELINE.md round 5c)
+            "attempts_steal_of_cores_pct": {
+                str(k): [round((a.get("cpu_mix") or {}).get(
+                    "steal_pct", 0.0) * 32.0 / k, 1)
                          for a in v]
                 for k, v in attempts.items() if v},
             "minround_steady_urls_per_sec": {

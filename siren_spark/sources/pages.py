@@ -74,6 +74,45 @@ class BucketedParquetPageStore(PageStore):
         self.path = path
 
     def read(self, spark: SparkSession) -> DataFrame:
+        """Read the bucketed table, re-attaching catalog metadata when
+        absent.
+
+        Spark's default session catalog is in-memory: a table
+        ``saveAsTable``-d by an ingest job exists on disk but a LATER
+        session (the common case — ingest once, crawl for weeks) has no
+        entry for it, and a plain ``spark.read.parquet`` of the files
+        would silently DROP the bucketing metadata, downgrading every
+        fetch join back to broadcast/SMJ. Re-register with the original
+        bucket spec instead — pinned by the ``_bucketing.json`` sidecar
+        the write leaves next to the data, because registering with the
+        WRONG bucket count would make Spark co-locate join sides by a
+        hash layout the files don't have (silently missing matches).
+        Iceberg carries this metadata in the table itself
+        (:class:`IcebergPageStore`); the sidecar is the stock-Spark
+        stand-in.
+        """
+        if spark.catalog.tableExists(self.table):
+            return spark.table(self.table)
+        if not self.path:
+            return spark.table(self.table)  # raises the standard error
+        import json
+        import os
+        meta_path = os.path.join(self.path, "_bucketing.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if int(meta["buckets"]) != self.buckets:
+            raise ValueError(
+                f"bucket count mismatch for {self.table!r}: table on disk "
+                f"has {meta['buckets']} buckets, store configured with "
+                f"{self.buckets} — registering the wrong spec would "
+                "silently drop join matches")
+        schema = spark.read.parquet(self.path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                         for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE `{self.table}` ({cols}) USING parquet "
+            f"CLUSTERED BY ({meta['col']}) SORTED BY ({meta['col']}) "
+            f"INTO {self.buckets} BUCKETS LOCATION '{self.path}'")
         return spark.table(self.table)
 
     def write(self, df: DataFrame) -> None:
@@ -90,6 +129,11 @@ class BucketedParquetPageStore(PageStore):
         if self.path:
             w = w.option("path", self.path)
         w.saveAsTable(self.table)
+        if self.path:
+            import json
+            import os
+            with open(os.path.join(self.path, "_bucketing.json"), "w") as f:
+                json.dump({"buckets": self.buckets, "col": "url_canon"}, f)
 
 
 class IcebergPageStore(PageStore):

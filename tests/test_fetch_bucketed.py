@@ -99,6 +99,41 @@ def test_bucketed_crawl_equals_default_engine(spark, site, bucketed_pages,
     assert sa == sb
 
 
+def test_bucketed_store_reattaches_across_sessions(
+        spark, site, tmp_path_factory):
+    """Ingest and crawl are different processes: the default session
+    catalog is in-memory, so the crawl session starts with NO entry for
+    the ingest-time table. read() must re-register the table from the
+    on-disk sidecar with the ORIGINAL bucket spec (a plain parquet read
+    would silently drop the bucketing and downgrade the fetch join),
+    and refuse a mismatched bucket count outright."""
+    path = str(tmp_path_factory.mktemp("bucketedreattach") / "pages")
+    store = BucketedParquetPageStore("pages_bucketed_reatt", buckets=4,
+                                     path=path)
+    try:
+        store.write(pages_df(spark, site.pages))
+        n = spark.table("pages_bucketed_reatt").count()
+        # simulate the fresh session: drop the catalog entry, keep disk
+        spark.sql("DROP TABLE pages_bucketed_reatt")
+        df = store.read(spark)
+        assert df.count() == n
+        pages_p = prepare_pages(df, _cfg(fetch_join="bucketed"))
+        sched = spark.createDataFrame(
+            [(p["url"], p["url"], None) for p in site.pages[:5]],
+            "url string, url_canon string, meta map<string,string>")
+        p = _plan(pages_p.join(sched.hint("shuffle_hash"),
+                               "url_canon", "inner"))
+        assert "ShuffledHashJoin" in p and "Bucketed: true" in p, p
+        # wrong bucket count must fail loudly, never mis-register
+        spark.sql("DROP TABLE pages_bucketed_reatt")
+        bad = BucketedParquetPageStore("pages_bucketed_reatt", buckets=8,
+                                       path=path)
+        with pytest.raises(ValueError, match="bucket count mismatch"):
+            bad.read(spark)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed_reatt")
+
+
 def test_bucketed_store_one_file_per_bucket(spark, site, tmp_path_factory):
     """The ingest pre-shuffle aligns write tasks with buckets so each
     bucket lands as one file — without it every write task emits its
