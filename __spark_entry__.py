@@ -935,6 +935,67 @@ def _q_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("c_name").alias("c_name"))
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL iterative frontier-prioritization operator
+    (functions/graph.py): deterministic modular link graph over the
+    documents corpus, 3 rounds of integer-exact PageRank."""
+    from pyspark.sql import functions as F
+    from siren_spark.functions.graph import pagerank, synthetic_link_graph
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    ranks = pagerank(
+        synthetic_link_graph(docs),
+        docs.select(F.col("doc_id").alias("node_id")),
+        iterations=3)
+    return ranks.select(
+        F.col("node_id").cast("long").alias("node_id"),
+        F.col("pr_scaled").cast("long").alias("pr_scaled"))
+
+
+def _pagerank_duck(iterations: int = 3, scale: int = 10**12,
+                   num: int = 85, den: int = 100,
+                   mult: int = 31, step: int = 17,
+                   n_links: int = 3) -> str:
+    """Replicates graph.pagerank's integer math: same modular edge set,
+    same ``rank DIV outdeg`` floor division (all values non-negative, so
+    DuckDB // == Spark DIV), same teleport constant, unrolled to K
+    chained CTEs."""
+    teleport = ((den - num) * scale) // den
+    links = ", ".join(str(i) for i in range(1, n_links + 1))
+    parts = [f"""
+WITH jj AS (SELECT UNNEST(ARRAY[{links}]) AS j),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT DISTINCT d.doc_id AS src,
+         (d.doc_id*d.doc_id + d.doc_id*{mult} + jj.j*{step}) % nn.n AS dst
+  FROM documents d, jj, nn
+  WHERE jj.j <= 1 + d.doc_id % {n_links}
+    AND (d.doc_id*d.doc_id + d.doc_id*{mult} + jj.j*{step}) % nn.n
+        <> d.doc_id
+),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT doc_id AS node_id, CAST({scale} AS BIGINT) AS r
+       FROM documents)"""]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+m{i} AS (SELECT e.dst AS node_id, SUM({prev}.r // o.deg) AS m
+         FROM e JOIN outdeg o ON e.src = o.src
+                JOIN {prev} ON {prev}.node_id = e.src
+         GROUP BY e.dst),
+r{i} AS (SELECT n0.node_id,
+                CAST({teleport} + ({num} * COALESCE(m{i}.m, 0)) // {den}
+                     AS BIGINT) AS r
+         FROM r0 n0 LEFT JOIN m{i} ON m{i}.node_id = n0.node_id)""")
+        prev = f"r{i}"
+    parts.append(
+        f"\nSELECT node_id, r AS pr_scaled FROM {prev}")
+    return "".join(parts)
+
+
+_PAGERANK_DUCK = _pagerank_duck()
+
+
 def _q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole engine, end to end: deterministic sitegen web -> full
     crawl (robots off, bloom on, politeness budget) -> extracted
@@ -1037,6 +1098,7 @@ _REGISTRY: dict[str, tuple] = {
     "f2_fixed_range_fanout": _q(_F2_SPARK, _F2_DUCK),
     "f3_date_step_fanout": _q(_F3_SPARK, _F3_DUCK),
     "politeness_topk_per_host": (_q_politeness, _TOPK),
+    "frontier_pagerank": (_q_pagerank, _PAGERANK_DUCK),
     "crawl_end_to_end": (_q_crawl_end_to_end, None),
     "dedup_minhash_lsh": (_docs_q(_q_minhash), _MINHASH_DUCK),
     "dedup_simhash": (_docs_q(_q_simhash), _SIMHASH_DUCK),

@@ -1,0 +1,189 @@
+"""Link-graph operators: frontier prioritization via PageRank.
+
+A production crawler schedules its frontier by link-graph centrality —
+pages with many (weighted) in-links get fetched first (reference:
+crawl scheduling around `siren/crawler` seed/priority handling; the
+reference engine itself orders by discovery, this is the scale-path
+upgrade a 100-TB frontier needs). PageRank here is the textbook
+synchronous iteration, expressed as DataFrame joins so Catalyst plans
+every round as one co-partitioned equi-join plus one aggregation:
+
+- ``edges`` is repartitioned by ``src`` ONCE and persisted; every
+  iteration re-joins the (small, one-row-per-node) rank frame against
+  that fixed layout, so the big edge table never re-shuffles.
+- per iteration: ranks ⋈ edges on src (shuffle of ranks only), then
+  groupBy dst with a partial-aggregated SUM (map-side combine), then a
+  right join back to the node set to re-seed nodes with no in-links.
+  O(iterations) rounds, two rank-sized shuffles each — the same shape
+  GraphX/Pregel lowers to, without the RDD detour.
+
+**Integer-exact math.** All arithmetic is scaled BIGINT: ranks start
+at ``scale``, a node's out-contribution is ``rank DIV outdeg`` (integer
+division), and the update is
+
+    rank' = ((den-num) * scale) DIV den  +  (num * sum(contribs)) DIV den
+
+with damping ``num/den`` (default 85/100). Integer sums are
+associative-commutative-exact, so the result is bit-identical across
+partitionings, engines, and dialects — a DuckDB oracle reproduces it
+exactly (no float-drift tolerance needed). Mass arriving at dangling
+nodes is dropped rather than redistributed (documented spec choice;
+both sides implement it). Pick ``scale`` so ``scale * max_indegree``
+fits int64: the default 1e12 is safe to ~9M in-links on one page;
+drop to 1e9 for hotter graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["synthetic_link_graph", "pagerank", "frontier_priority"]
+
+
+def synthetic_link_graph(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_links: int = 3,
+    mult: int = 31,
+    step: int = 17,
+) -> DataFrame:
+    """Deterministic (src, dst) edge frame over a corpus with contiguous
+    integer ids 0..N-1: doc i links to ``(i*i + i*mult + j*step) % N``
+    for j in 1..(1 + i % n_links), self-loops removed, duplicate edges
+    collapsed. The quadratic term breaks the bijectivity a pure affine
+    map mod N would have, and the id-dependent fan-out skews out-degree
+    — so in-degree, out-degree, and hence ranks all genuinely vary
+    (an affine regular graph converges to uniform PageRank, which
+    verifies nothing). Requires (N-1)² to fit int64 (N < ~3e9).
+
+    Used by tests and the correctness gate so the oracle SQL can build
+    the identical graph with the same modular arithmetic. N is attached
+    via a broadcast single-row aggregate (stays lazy — no driver
+    collect, no action before the caller's).
+    """
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(1, n_links + 1)]))
+    src = F.col("src")
+    edges = (
+        docs.select(F.col(id_col).cast("long").alias("src"))
+        .crossJoin(F.broadcast(n))
+        .select("src", "__n", j.alias("__j"))
+        .where(F.col("__j") <= 1 + src % n_links)
+        .select(
+            "src",
+            ((src * src + src * mult + F.col("__j") * step) % F.col("__n"))
+            .alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return edges
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "node_id",
+) -> DataFrame:
+    """(node_id, pr_scaled): fixed-iteration integer-exact PageRank.
+
+    ``edges`` — (src, dst) long columns; ``nodes`` — optional one-column
+    frame of node ids (defaults to src ∪ dst). Returns one row per node
+    with ``pr_scaled`` BIGINT (rank × scale). See module docstring for
+    the exact update rule, scale-path plan shape, and the dangling-mass
+    spec. Raises ``ValueError`` on a non-positive iteration count or a
+    degenerate damping fraction rather than looping forever / dividing
+    by zero inside a task.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError(
+            f"damping must satisfy 0 < num < den, got {damping_num}/{damping_den}")
+
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    if nodes is None:
+        node_ids = (
+            e.select(F.col("src").alias("node_id"))
+            .union(e.select(F.col("dst").alias("node_id")))
+            .distinct()
+        )
+    else:
+        node_ids = nodes.select(
+            F.col(nodes.columns[0]).cast("long").alias("node_id")).distinct()
+
+    # Edge layout fixed once: co-partition by src and fold the out-degree
+    # in, so each iteration's join shuffles only the rank frame.
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    edges_deg = (
+        e.join(outdeg, "src")
+        .repartition("src")
+        .persist()
+    )
+    node_ids = node_ids.persist()
+
+    teleport = ((damping_den - damping_num) * scale) // damping_den
+    ranks = node_ids.select(
+        "node_id", F.lit(int(scale)).cast("long").alias("pr_scaled"))
+    try:
+        for _ in range(iterations):
+            contribs = (
+                edges_deg.join(
+                    ranks.withColumnRenamed("node_id", "src"), "src")
+                .select(
+                    F.col("dst").alias("node_id"),
+                    F.expr("pr_scaled DIV __deg").alias("__c"))
+                .groupBy("node_id")
+                .agg(F.sum("__c").alias("__m"))
+            )
+            ranks = (
+                node_ids.join(contribs, "node_id", "left")
+                .select(
+                    "node_id",
+                    (F.lit(int(teleport))
+                     + F.expr(f"({damping_num} * coalesce(__m, 0L))"
+                              f" DIV {damping_den}"))
+                    .cast("long").alias("pr_scaled"),
+                )
+            )
+            # Pin each round's result: stops the lazy plan from nesting
+            # K joins deep (analysis blow-up) and makes round N+1 read a
+            # materialized round N, same discipline as dedup_components.
+            ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        edges_deg.unpersist()
+        node_ids.unpersist()
+    return ranks
+
+
+def frontier_priority(
+    ranks: DataFrame,
+    frontier: DataFrame,
+    *,
+    id_col: str = "node_id",
+    frontier_id_col: str = "node_id",
+) -> DataFrame:
+    """Attach pr_scaled to a frontier frame (left join; unranked URLs —
+    never-seen hosts — get priority 0 so they sort last, not NULL-first
+    surprises). The caller orders its fetch schedule by
+    (pr_scaled DESC, id) downstream."""
+    r = ranks.select(
+        F.col(id_col).alias(frontier_id_col),
+        F.col("pr_scaled").alias("__pr"))
+    return (
+        frontier.join(r, frontier_id_col, "left")
+        .withColumn("priority",
+                    F.coalesce(F.col("__pr"), F.lit(0)).cast("long"))
+        .drop("__pr")
+    )
