@@ -305,6 +305,45 @@ JOIN t ta ON ta.doc_id = p.doc_a
 JOIN t tb ON tb.doc_id = p.doc_b
 """
 
+# exact duplicate-span stats (fixed-window exact substring dedup):
+# every 16-token sliding window fingerprinted with md5; an occurrence
+# is duplicated when its fingerprint appears in >= 2 distinct docs
+_SPAN_W = 16
+_SPAN_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+           AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         md5(array_to_string(t[i:i+{_SPAN_W - 1}], ' ')) AS w
+  FROM toks,
+       unnest(range(1, greatest(len(t) - {_SPAN_W} + 1, 0) + 1)) AS u(i)
+),
+per AS (SELECT w, doc_id, count(*) AS c FROM wins GROUP BY w, doc_id),
+dup AS (
+  SELECT doc_id, SUM(c) AS n_dup FROM (
+    SELECT w, doc_id, c, count(*) OVER (PARTITION BY w) AS nd FROM per
+  ) WHERE nd > 1 GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         greatest(len(string_split(regexp_replace(trim(text), '\\s+',
+                                                  ' ', 'g'), ' '))
+                  - {_SPAN_W} + 1, 0) AS n_windows
+  FROM documents
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n_windows AS BIGINT) AS n_windows,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(CASE WHEN b.n_windows = 0 THEN 0.0
+                  ELSE coalesce(d.n_dup, 0) * 1.0 / b.n_windows
+             END, 4) AS dup_frac
+FROM base b LEFT JOIN dup d USING (doc_id)
+"""
+
 _SIMHASH_DUCK = """
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -689,6 +728,11 @@ _PII_DUCK = _pii_duck()
 def _q_minhash(docs):
     from siren_spark.functions.similarity import minhash_lsh_pairs
     return minhash_lsh_pairs(docs, perms=8, bands=4, band_cap=256)
+
+
+def _q_dup_spans(docs):
+    from siren_spark.functions.similarity import duplicate_span_stats
+    return duplicate_span_stats(docs, window=_SPAN_W)
 
 
 def _q_simhash(docs):
@@ -1101,6 +1145,7 @@ _REGISTRY: dict[str, tuple] = {
     "frontier_pagerank": (_q_pagerank, _PAGERANK_DUCK),
     "crawl_end_to_end": (_q_crawl_end_to_end, None),
     "dedup_minhash_lsh": (_docs_q(_q_minhash), _MINHASH_DUCK),
+    "dedup_span_exact": (_docs_q(_q_dup_spans), _SPAN_DUCK),
     "dedup_simhash": (_docs_q(_q_simhash), _SIMHASH_DUCK),
     "dedup_simhash64": (_docs_q(_q_simhash64), _SIMHASH64_DUCK),
     "simhash_hamming_pairs": (_docs_q(_q_simhash_near_dups),

@@ -215,6 +215,79 @@ def jaccard_verify(
     return out
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 16,
+) -> DataFrame:
+    """Exact duplicate-span detection per document (the scalable
+    fixed-window variant of exact substring dedup, Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Every ``window``-token sliding window of every document is
+    fingerprinted (md5 over the space-joined tokens — the same
+    DuckDB-expressible hash family as the MinHash stage), and a window
+    occurrence counts as duplicated when the same fingerprint appears
+    in at least one OTHER document (same-document repeats are not
+    duplication). Output, one row per input document:
+
+    - ``n_windows``     total sliding windows (0 for docs shorter than
+      ``window`` tokens),
+    - ``n_dup_windows`` occurrences of cross-document-shared windows,
+    - ``dup_frac``      their ratio (0.0 when there are no windows) —
+      the per-document drop/trim signal.
+
+    A suffix array finds arbitrary-length duplicated spans; the fixed
+    window is the standard distributed approximation (any duplicated
+    span of >= ``window`` tokens is caught, shorter ones are not).
+
+    Plan shape — no join back to the exploded frame and no all-pairs
+    anywhere: explode -> groupBy (fingerprint, doc) -> count-over-window
+    partitioned by fingerprint (rows are one per (fingerprint, doc)
+    after the groupBy, so plain COUNT(*) IS the distinct-doc count) ->
+    groupBy doc -> one broadcast-able join onto the per-doc base. Every
+    shuffle carries only (32-char fingerprint, id, count) rows — never
+    document text — keyed by fingerprint then id, the same exchange
+    family as the MinHash band join.
+    """
+    df = _spread(df)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    fps = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - window + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - window + 1, F.lit(0))
+         .cast("long").alias("n_windows"),
+        fps.alias("__fps"),
+    )
+    occ = (base.select(id_col, F.explode("__fps").alias("__fp"))
+           .groupBy("__fp", id_col).agg(F.count("*").alias("__c")))
+    dup = (occ
+           .withColumn("__nd", F.count("*").over(
+               Window.partitionBy("__fp")))
+           .where(F.col("__nd") > 1)
+           .groupBy(id_col).agg(F.sum("__c").alias("__ndup")))
+    return (base.select(id_col, "n_windows")
+            .join(dup, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("n_windows"),
+                F.coalesce(F.col("__ndup"), F.lit(0))
+                 .cast("long").alias("n_dup_windows"),
+                F.round(
+                    F.when(F.col("n_windows") > 0,
+                           F.coalesce(F.col("__ndup"), F.lit(0))
+                           / F.col("n_windows"))
+                    .otherwise(F.lit(0.0)), 4).alias("dup_frac")))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

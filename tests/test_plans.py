@@ -65,8 +65,8 @@ def test_similarity_plans_never_cross_join(spark):
     or nested-loop join anywhere means the op silently degraded to
     all-pairs and would never survive corpus scale."""
     from siren_spark.functions.similarity import (
-        ann_lsh_topk, embedding_near_dups, minhash_lsh_pairs,
-        simhash_near_dups,
+        ann_lsh_topk, duplicate_span_stats, embedding_near_dups,
+        minhash_lsh_pairs, simhash_near_dups,
     )
     from pyspark.sql import functions as F
 
@@ -74,6 +74,7 @@ def test_similarity_plans_never_cross_join(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plans = {
         "minhash": _plan(minhash_lsh_pairs(docs)),
+        "dup_spans": _plan(duplicate_span_stats(docs)),
         "simhash_nd": _plan(simhash_near_dups(docs)),
         "emb_nd": _plan(embedding_near_dups(emb)),
         "ann_topk": _plan(ann_lsh_topk(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from siren_spark.functions.similarity import (
     ann_lsh_topk,
+    duplicate_span_stats,
     embedding_lsh_buckets,
     embedding_near_dups,
     jaccard_verify,
@@ -418,3 +419,40 @@ def test_pii_scrubbed(spark):
     assert rows[2].text_scrubbed == "no pii in this one 12-34"
     assert (rows[3].n_emails, rows[3].n_phones) == (2, 1)
     assert rows[3].text_scrubbed == "two mails <EMAIL> <EMAIL> and <PHONE>"
+
+
+def test_duplicate_span_stats_hand_computed(spark):
+    """Fixed-window exact-span dedup on a hand-computed fixture:
+    cross-doc shared windows count, same-doc repeats do not, short
+    docs get zero windows (never a truncated phantom window)."""
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"),            # windows: 3
+         (2, "w3 w4 w5 w6 x"),                # windows: 2, shares 1 with d1
+         (3, "a b c"),                        # < window tokens -> 0 windows
+         (4, "p q r s p q r s")],             # repeat WITHIN one doc only
+        "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in duplicate_span_stats(df, window=4).collect()}
+    assert (out[1].n_windows, out[1].n_dup_windows) == (3, 1)
+    assert out[1].dup_frac == 0.3333
+    assert (out[2].n_windows, out[2].n_dup_windows) == (2, 1)
+    assert out[2].dup_frac == 0.5
+    assert (out[3].n_windows, out[3].n_dup_windows, out[3].dup_frac) \
+        == (0, 0, 0.0)
+    # "p q r s" occurs twice in doc 4 and nowhere else: not duplication
+    assert (out[4].n_windows, out[4].n_dup_windows) == (5, 0)
+
+
+def test_duplicate_span_stats_whitespace_and_window_edge(spark):
+    """Tokenization is \\s+ on trimmed text (multi-space/tab parity
+    with the DuckDB oracle) and a doc of exactly `window` tokens has
+    exactly one window."""
+    df = spark.createDataFrame(
+        [(1, "  u1  u2\tu3 u4 "),             # exactly 4 tokens
+         (2, "u1 u2 u3 u4")],                 # same 4 tokens, single-space
+        "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in duplicate_span_stats(df, window=4).collect()}
+    for d in (1, 2):
+        assert (out[d].n_windows, out[d].n_dup_windows,
+                out[d].dup_frac) == (1, 1, 1.0)
