@@ -1123,6 +1123,142 @@ def _q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# corpus-curation gates (functions/curation.py): deterministic sampling,
+# data-mixing quotas, benchmark decontamination, per-domain rollup, and
+# domain-blocklist filtering — the pipeline stages between crawl and
+# tokenizer. Oracles replicate the exact hash/window/n-gram math in DuckDB.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATE = 0.25
+_SAMPLE_SALT = "gate"
+_SAMPLE_THR = format(int(_SAMPLE_RATE * 16 ** 8), "08x")
+
+
+def _q_sample_hash(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.curation import sample_hash
+    return (sample_hash(docs, rate=_SAMPLE_RATE, salt=_SAMPLE_SALT)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "source"))
+
+
+_SAMPLE_HASH_DUCK = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM documents
+WHERE substr(md5('{_SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < '{_SAMPLE_THR}'
+"""
+
+
+def _q_sample_quota(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.curation import sample_quota_per_group
+    return (sample_quota_per_group(docs, quota=7, group_col="source",
+                                   salt=_SAMPLE_SALT)
+            .select("source", F.col("doc_id").cast("long").alias("doc_id")))
+
+
+_SAMPLE_QUOTA_DUCK = f"""
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5('{_SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)),
+                           1, 8), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 7
+"""
+
+
+# n=4 on the synthetic vocab yields both self-matches (the benchmark
+# rows) and true cross-document contamination; the engine default (13)
+# only self-matches here because the generator's n-grams rarely repeat.
+_DECONTAM_N = 4
+
+
+def _q_decontaminate(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.curation import decontaminate_ngrams
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return (decontaminate_ngrams(docs, bench, n=_DECONTAM_N)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "contaminated"))
+
+
+_DECONTAM_DUCK = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - {_DECONTAM_N} + 2),
+                    i -> array_to_string(w[i:i + {_DECONTAM_N} - 1], ' ')))
+               AS gram
+      FROM d),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+h AS (SELECT DISTINCT doc_id FROM g JOIN b USING (gram))
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       (h.doc_id IS NOT NULL) AS contaminated
+FROM d LEFT JOIN h USING (doc_id)
+"""
+
+
+def _q_quality_rollup(docs):
+    from siren_spark.functions.curation import domain_quality_rollup
+    return domain_quality_rollup(docs)
+
+
+_ROLLUP_DUCK = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+            AS BIGINT) AS n_tokens,
+       ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_chars,
+       ROUND(AVG(CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+                      < 50 THEN 1.0 ELSE 0.0 END), 4) AS short_doc_share
+FROM documents WHERE length(text) > 0
+GROUP BY source
+"""
+
+
+def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level blocklist filter over a host family built from customer
+    keys (pattern: _q_canonicalize) — hosts on two TLD families, one
+    blocked wholesale by registrable-domain suffix, one single host
+    blocked exactly."""
+    from pyspark.sql import functions as F
+    from siren_spark.functions.curation import filter_domain_blocklist
+    _views(spark, sf_dir)
+    hosts = spark.sql("""
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               CASE WHEN c_custkey % 2 = 0
+                    THEN concat('news', CAST(c_nationkey % 7 AS STRING),
+                                '.example.com')
+                    ELSE concat('media', CAST(c_nationkey % 5 AS STRING),
+                                '.sample.net')
+               END AS host
+        FROM customer
+    """)
+    blocklist = spark.createDataFrame(
+        [("sample.net",), ("news3.example.com",)], ["blocked"])
+    return filter_domain_blocklist(hosts, blocklist, domain_col="host")
+
+
+_BLOCKLIST_DUCK = """
+WITH hosts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         CASE WHEN c_custkey % 2 = 0
+              THEN 'news' || CAST(c_nationkey % 7 AS VARCHAR)
+                   || '.example.com'
+              ELSE 'media' || CAST(c_nationkey % 5 AS VARCHAR)
+                   || '.sample.net'
+         END AS host
+  FROM customer)
+SELECT c_custkey, host FROM hosts
+WHERE NOT (host = 'sample.net' OR host LIKE '%.sample.net'
+           OR host = 'news3.example.com'
+           OR host LIKE '%.news3.example.com')
+"""
+
+
 _REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": _q(_Q1_SPARK, _Q1_DUCK),
     "p1_date_window_filter": _q(_P1),
@@ -1168,6 +1304,12 @@ _REGISTRY: dict[str, tuple] = {
     "text_pii_scrub": (_q_pii_scrub, _PII_DUCK),
     "doc_fingerprint": (_docs_q(_q_fingerprint), _FINGERPRINT_DUCK),
     "k9_url_canonicalize": (_q_canonicalize, _CANON_ORACLE),
+    "sample_hash_bernoulli": (_docs_q(_q_sample_hash), _SAMPLE_HASH_DUCK),
+    "sample_quota_per_group": (_docs_q(_q_sample_quota),
+                               _SAMPLE_QUOTA_DUCK),
+    "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),
+    "domain_quality_rollup": (_docs_q(_q_quality_rollup), _ROLLUP_DUCK),
+    "filter_domain_blocklist": (_q_blocklist, _BLOCKLIST_DUCK),
 }
 
 

@@ -1,0 +1,242 @@
+"""Corpus-curation operators for training-data pipelines, as engine API.
+
+The ops a web-scale pretraining pipeline runs between the crawl and the
+tokenizer, beyond dedup/similarity (functions/similarity.py) and
+per-doc stats (functions/text.py):
+
+- deterministic hash sampling (``sample_hash``) — C4-style corpus
+  downsampling that is reproducible at any parallelism and re-runnable
+  incrementally (the keep/drop decision is a pure function of the key,
+  never of partition layout or an RNG seed table);
+- per-group quota sampling (``sample_quota_per_group``) — data-mixing
+  caps ("at most K docs per domain/source"), the FineWeb/Gopher recipe
+  for flattening domain skew, built on the same salted two-phase top-k
+  as the politeness scheduler (operators/politeness.py) so one hot
+  domain cannot funnel a window through a single task;
+- benchmark decontamination (``decontaminate_ngrams``) — flag training
+  docs sharing any word n-gram with an eval/benchmark set (the GPT-3
+  appendix-C / Gopher 13-gram overlap rule);
+- per-domain quality rollup (``domain_quality_rollup``) — the
+  aggregate view quality-filter thresholds are tuned against;
+- domain blocklist filtering (``filter_domain_blocklist``) — drop rows
+  whose host matches a blocklist entry exactly OR by DNS suffix
+  (blocking ``example.com`` drops ``news3.example.com``), the standard
+  URL-level filter in C4/RefinedWeb pipelines.
+
+All determinism contracts match functions/text.py: integer outputs are
+BIGINT, floats are ROUND(...,4), orderings are total (hash, then key),
+so results are independent of partitioning and execution order — the
+driver's value-hash oracle gate relies on this.
+
+Scale notes (100 TB): sample_hash and decontaminate's doc side are flat
+maps (no shuffle); the benchmark n-gram set is small by nature and
+broadcast; quota sampling shuffles once on the salted group key with
+per-task volume bounded by salt_buckets x quota regardless of skew; the
+rollup is one combiner-friendly groupBy; blocklist filtering explodes a
+bounded (~label-count) suffix array and broadcast-anti-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 16 ** 8  # first 8 hex chars of md5 = 32 uniform bits
+
+
+def _hash8(key: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt|key) — the shared sampling hash.
+
+    Kept to plain md5/substring so the DuckDB oracle replicates it
+    verbatim (``substr(md5(...), 1, 8)``).
+    """
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), key.cast("string"))), 1, 8)
+
+
+def sample_hash(
+    df: DataFrame,
+    *,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep iff hash(key) < rate.
+
+    The keep decision is a pure function of (salt, key): re-running on
+    a grown corpus keeps every previously-kept row (stable incremental
+    sampling), and disjoint salts give independent samples for held-out
+    splits. Pure column math — stays in whole-stage codegen, no
+    shuffle, nothing driver-side.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return df
+    threshold = format(int(rate * _HASH_SPACE), "08x")
+    return df.filter(_hash8(F.col(key_col), salt) < F.lit(threshold))
+
+
+def sample_quota_per_group(
+    df: DataFrame,
+    *,
+    quota: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep a deterministic pseudo-random quota of rows per group.
+
+    Order within a group is by (hash(key), key) — uniform "random" but
+    reproducible at any parallelism. Skew-robust the same way the
+    politeness scheduler is (operators/politeness.py:23): phase 1 ranks
+    within (group, xxhash-salt bucket) and keeps at most ``quota`` per
+    bucket, so the phase-2 per-group window sees at most
+    salt_buckets x quota rows for even the hottest group.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    hkey = _hash8(F.col(key_col), salt)
+    order = [F.asc("__hkey"), F.asc(key_col)]
+    salted = (df.withColumn("__hkey", hkey)
+              .withColumn("__salt",
+                          F.pmod(F.xxhash64(F.col(key_col).cast("string")),
+                                 F.lit(salt_buckets))))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(*order)
+    pre = (salted.withColumn("__rn", F.row_number().over(w1))
+           .filter(F.col("__rn") <= quota).drop("__rn"))
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (pre.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= quota)
+            .drop("__rn", "__salt", "__hkey"))
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """All word n-grams of a single-space-tokenized text column
+    (empty array when the doc has fewer than n words)."""
+    w = F.split(text, " ")
+    return F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(w) - n + 1),
+                    lambda i: F.array_join(F.slice(w, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate_ngrams(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag docs sharing any word ``n``-gram with ``benchmark``.
+
+    The GPT-3/Gopher eval-decontamination rule: a training document is
+    contaminated if any of its word n-grams appears in the benchmark
+    text. Returns (id_col, contaminated BOOLEAN), one row per doc.
+
+    Plan shape: the benchmark side (small by nature — eval sets are
+    thousands of docs, not billions) collapses to a distinct md5(gram)
+    set and is BROADCAST; the doc side explodes its per-doc distinct
+    gram hashes and broadcast-left-joins them (narrow — the doc text
+    never shuffles), then ONE combiner-friendly groupBy(id) folds the
+    per-gram hits to a boolean — map-side partial max means the single
+    shuffle carries one (id, bool) pair per doc per task.
+    ``explode_outer`` keeps docs shorter than n words (contaminated =
+    false). Requires ``id_col`` to be unique per doc.
+    """
+    grams = _word_ngrams(F.col(text_col), n)
+    bench_grams = (
+        benchmark
+        .select(F.explode(grams).alias("__g"))
+        .select(F.md5("__g").alias("__gh"))
+        .distinct()
+        .withColumn("__hit", F.lit(True)))
+    doc_grams = (
+        docs
+        .select(F.col(id_col),
+                F.explode_outer(F.array_distinct(grams)).alias("__g"))
+        .withColumn("__gh", F.md5("__g")))
+    return (doc_grams
+            .join(F.broadcast(bench_grams.select("__gh", "__hit")),
+                  "__gh", "left")
+            .groupBy(id_col)
+            .agg(F.coalesce(F.max("__hit"), F.lit(False))
+                 .alias("contaminated")))
+
+
+def domain_quality_rollup(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus stats: the table quality thresholds are tuned on.
+
+    Returns one row per group: n_docs, n_tokens (whitespace), avg_chars
+    (ROUND 4), short_doc_share (ROUND 4; docs under 50 tokens — the
+    length_score<0.5 knee from functions/text.py:with_quality_score).
+    One combiner-friendly groupBy — partial aggregation map-side, tiny
+    shuffle (one row per group), no skew surface.
+    """
+    t = F.col(text_col)
+    n_tok = (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+             + F.lit(1)).cast("long")
+    return (df.filter(F.length(t) > 0)
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(n_tok).alias("n_tokens"),
+                 F.round(F.avg(F.length(t).cast("double")), 4)
+                 .alias("avg_chars"),
+                 F.round(F.avg((n_tok < 50).cast("double")), 4)
+                 .alias("short_doc_share")))
+
+
+def _host_suffixes(host: Column) -> Column:
+    """All DNS suffixes of a host: a.b.c -> [a.b.c, b.c, c]."""
+    p = F.split(host, "[.]")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(p)),
+        lambda i: F.array_join(F.slice(p, i, F.size(p) - i + 1), "."))
+
+
+def filter_domain_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame,
+    *,
+    domain_col: str = "domain",
+    blocked_col: str = "blocked",
+) -> DataFrame:
+    """Drop rows whose host matches a blocklist entry exactly or by
+    DNS suffix (blocking ``example.com`` drops ``news3.example.com``;
+    label-anchored, so ``ample.com`` does NOT).
+
+    Plan shape: DISTINCT hosts (tiny vs rows — a 100 TB crawl has
+    ~10^7-10^8 hosts vs 10^10 pages) explode into <= label-count
+    suffixes (~6 for real hosts), broadcast-semi-join the blocklist to
+    find blocked hosts, and the blocked-host set broadcast-anti-joins
+    back onto the data — the data side never shuffles. Memory bound:
+    the broadcast is |hosts matching the blocklist|, not |rows|; if a
+    blocklist entry covers a huge shared-hosting domain, swap the final
+    join for a shuffle anti-join on the host column.
+    """
+    sfx = (df.select(F.col(domain_col).alias("__host")).distinct()
+           .select("__host", F.explode(_host_suffixes(F.col("__host")))
+                   .alias("__sfx")))
+    blocked_hosts = (sfx.join(
+        F.broadcast(blocklist.select(F.col(blocked_col).alias("__sfx"))),
+        "__sfx", "left_semi").select("__host").distinct())
+    return df.join(
+        F.broadcast(blocked_hosts),
+        df[domain_col] == blocked_hosts["__host"], "left_anti")
+
+
+__all__ = [
+    "sample_hash",
+    "sample_quota_per_group",
+    "decontaminate_ngrams",
+    "domain_quality_rollup",
+    "filter_domain_blocklist",
+]

@@ -1,0 +1,188 @@
+"""Engine-API tests for functions/curation.py (sampling, mixing,
+decontamination, rollup, blocklist).
+
+The driver's oracle gate checks these against DuckDB on the testdata
+tables; here we pin *semantics* on hand-built fixtures: determinism
+across parallelism, incremental-sampling stability, quota skew
+behavior, contamination edge cases, suffix-anchored blocking, and
+plan shape (no shuffle where none is promised).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siren_spark.functions.curation import (
+    decontaminate_ngrams,
+    domain_quality_rollup,
+    filter_domain_blocklist,
+    sample_hash,
+    sample_quota_per_group,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 5}",
+             " ".join(f"w{(i * 7 + j) % 23}" for j in range(4 + i % 9)))
+            for i in range(200)]
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_sample_hash_deterministic_and_partition_independent(spark, docs):
+    a = sorted(r.doc_id for r in
+               sample_hash(docs, rate=0.3, salt="x").collect())
+    b = sorted(r.doc_id for r in
+               sample_hash(docs.repartition(17), rate=0.3, salt="x")
+               .collect())
+    assert a == b and 0 < len(a) < 200
+
+
+def test_sample_hash_incremental_stability(spark, docs):
+    """Growing the corpus never flips a previously-kept row."""
+    small = docs.filter(F.col("doc_id") < 100)
+    kept_small = {r.doc_id for r in sample_hash(small, rate=0.4).collect()}
+    kept_full = {r.doc_id for r in sample_hash(docs, rate=0.4).collect()}
+    assert kept_small == {i for i in kept_full if i < 100}
+
+
+def test_sample_hash_rate_approx_and_salt_independence(spark, docs):
+    n1 = sample_hash(docs, rate=0.5, salt="a").count()
+    n2 = sample_hash(docs, rate=0.5, salt="b").count()
+    assert abs(n1 - 100) < 30 and abs(n2 - 100) < 30
+    ids1 = {r.doc_id for r in sample_hash(docs, rate=0.5, salt="a").collect()}
+    ids2 = {r.doc_id for r in sample_hash(docs, rate=0.5, salt="b").collect()}
+    assert ids1 != ids2  # different salts draw different samples
+
+
+def test_sample_hash_edges(spark, docs):
+    assert sample_hash(docs, rate=1.0).count() == 200
+    assert sample_hash(docs, rate=0.0).count() == 0
+    with pytest.raises(ValueError):
+        sample_hash(docs, rate=1.5)
+
+
+def test_sample_hash_no_shuffle(spark, docs):
+    plan = sample_hash(docs, rate=0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sample_quota_caps_every_group(spark, docs):
+    out = sample_quota_per_group(docs, quota=7, group_col="source")
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 7 for v in counts.values()) and len(counts) == 5
+
+
+def test_sample_quota_deterministic_under_skew(spark):
+    # one group is 95% of rows; result must not depend on layout
+    rows = [(i, "hot" if i % 20 else "cold", "t") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    a = sorted(r.doc_id for r in
+               sample_quota_per_group(df, quota=10).collect())
+    b = sorted(r.doc_id for r in
+               sample_quota_per_group(df.repartition(31), quota=10)
+               .collect())
+    assert a == b and len(a) == 20
+
+
+def test_sample_quota_small_group_kept_whole(spark, docs):
+    out = sample_quota_per_group(docs, quota=1000)
+    assert out.count() == 200  # quota above group size keeps everything
+    with pytest.raises(ValueError):
+        sample_quota_per_group(docs, quota=0)
+
+
+# ---------------------------------------------------------- decontamination
+
+def test_decontaminate_flags_exact_overlap(spark):
+    s = spark
+    docs = s.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different words in this training document here"),
+         (3, "short doc")],
+        ["doc_id", "text"])
+    bench = s.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r.contaminated
+           for r in decontaminate_ngrams(docs, bench, n=5).collect()}
+    # doc 1 shares the 5-gram "the quick brown fox jumps"
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_decontaminate_short_docs_and_row_count(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = decontaminate_ngrams(docs, bench, n=4)
+    rows = out.collect()
+    assert len(rows) == 200  # one row per doc, short docs included
+    flagged = {r.doc_id for r in rows if r.contaminated}
+    assert {i for i in range(0, 200, 50)} <= flagged  # self-matches
+
+
+def test_decontaminate_n_larger_than_any_doc(spark, docs):
+    bench = docs.limit(5)
+    out = decontaminate_ngrams(docs, bench, n=1000)
+    assert out.filter("contaminated").count() == 0
+    assert out.count() == 200
+
+
+def test_decontaminate_benchmark_broadcast(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = decontaminate_ngrams(docs, bench, n=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------------ rollup
+
+def test_domain_quality_rollup_values(spark):
+    df = spark.createDataFrame(
+        [(1, "s1", "a b c"),           # 3 tokens, short
+         (2, "s1", " ".join(["w"] * 60)),  # 60 tokens, long
+         (3, "s2", ""),                # dropped (empty)
+         (4, "s2", "x y")],            # 2 tokens, short
+        ["doc_id", "source", "text"])
+    out = {r.source: r for r in domain_quality_rollup(df).collect()}
+    assert out["s1"].n_docs == 2 and out["s1"].n_tokens == 63
+    assert out["s1"].short_doc_share == 0.5
+    assert out["s2"].n_docs == 1 and out["s2"].short_doc_share == 1.0
+    assert out["s1"].avg_chars == round((5 + 119) / 2, 4)
+
+
+# --------------------------------------------------------------- blocklist
+
+def test_blocklist_suffix_anchored(spark):
+    df = spark.createDataFrame(
+        [(1, "news3.example.com"),   # blocked by suffix example.com
+         (2, "example.com"),         # blocked exactly
+         (3, "notexample.com"),      # NOT blocked (label-anchored)
+         (4, "media.sample.net"),    # kept
+         (5, "a.b.news3.example.com")],  # blocked (deep subdomain)
+        ["id", "domain"])
+    bl = spark.createDataFrame([("example.com",)], ["blocked"])
+    kept = sorted(r.id for r in
+                  filter_domain_blocklist(df, bl).collect())
+    assert kept == [3, 4]
+
+
+def test_blocklist_empty_blocks_nothing(spark):
+    df = spark.createDataFrame([(1, "a.com"), (2, "b.net")],
+                               ["id", "domain"])
+    bl = spark.createDataFrame([], "blocked string")
+    assert filter_domain_blocklist(df, bl).count() == 2
+
+
+def test_blocklist_no_data_side_shuffle(spark):
+    df = spark.createDataFrame(
+        [(i, f"h{i % 9}.example{i % 4}.com") for i in range(100)],
+        ["id", "domain"])
+    bl = spark.createDataFrame([("example1.com",)], ["blocked"])
+    plan = filter_domain_blocklist(df, bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    kept = filter_domain_blocklist(df, bl).count()
+    assert kept == 75
