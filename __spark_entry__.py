@@ -1150,6 +1150,46 @@ WHERE substr(md5('{_SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_SPLIT_T1 = format(int(0.8 * 16 ** 8), "08x")
+_SPLIT_T2 = format(int(0.9 * 16 ** 8), "08x")
+
+
+def _q_split_by_hash(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.curation import split_by_hash
+    return (split_by_hash(docs, splits=_SPLITS, salt=_SAMPLE_SALT)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "split"))
+
+
+_SPLIT_DUCK = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN substr(md5('{_SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)),
+                        1, 8) < '{_SPLIT_T1}' THEN 'train'
+            WHEN substr(md5('{_SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)),
+                        1, 8) < '{_SPLIT_T2}' THEN 'val'
+            ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
+def _q_token_freq(docs):
+    from siren_spark.functions.curation import token_frequencies
+    return token_frequencies(docs, top_k=20)
+
+
+_TOKEN_FREQ_DUCK = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE length(text) > 0)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
 def _q_sample_quota(docs):
     from pyspark.sql import functions as F
     from siren_spark.functions.curation import sample_quota_per_group
@@ -1305,6 +1345,8 @@ _REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (_docs_q(_q_fingerprint), _FINGERPRINT_DUCK),
     "k9_url_canonicalize": (_q_canonicalize, _CANON_ORACLE),
     "sample_hash_bernoulli": (_docs_q(_q_sample_hash), _SAMPLE_HASH_DUCK),
+    "split_by_hash": (_docs_q(_q_split_by_hash), _SPLIT_DUCK),
+    "token_frequencies_topk": (_docs_q(_q_token_freq), _TOKEN_FREQ_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

@@ -8,6 +8,10 @@ per-doc stats (functions/text.py):
   downsampling that is reproducible at any parallelism and re-runnable
   incrementally (the keep/drop decision is a pure function of the key,
   never of partition layout or an RNG seed table);
+- deterministic split assignment (``split_by_hash``) — train/val/test
+  labels as a pure function of the key, immune to re-shuffle leakage;
+- token-frequency tables (``token_frequencies``) — the tokenizer-
+  training / vocab-coverage word count with a deterministic top-k;
 - per-group quota sampling (``sample_quota_per_group``) — data-mixing
   caps ("at most K docs per domain/source"), the FineWeb/Gopher recipe
   for flattening domain skew, built on the same salted two-phase top-k
@@ -75,6 +79,68 @@ def sample_hash(
         return df
     threshold = format(int(rate * _HASH_SPACE), "08x")
     return df.filter(_hash8(F.col(key_col), salt) < F.lit(threshold))
+
+
+def split_by_hash(
+    df: DataFrame,
+    *,
+    splits: list[tuple[str, float]] = (("train", 0.98), ("val", 0.01),
+                                       ("test", 0.01)),
+    key_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test split label.
+
+    ``splits`` is (name, fraction) in priority order; fractions must sum
+    to 1. Assignment is a pure function of (salt, key) — the same doc
+    always lands in the same split across re-runs and corpus growth (no
+    train/test leakage from re-shuffling), and a distinct salt re-draws
+    the whole assignment. Pure column math, no shuffle.
+    """
+    splits = list(splits)
+    total = sum(frac for _, frac in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if any(frac < 0 for _, frac in splits):
+        raise ValueError("split fractions must be non-negative")
+    h = _hash8(F.col(key_col), salt)
+    expr = F.lit(splits[-1][0])  # last split takes the hash-space tail
+    cum = 0.0
+    uppers = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        uppers.append((name, format(int(cum * _HASH_SPACE), "08x")))
+    for name, upper in reversed(uppers):
+        expr = F.when(h < F.lit(upper), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def token_frequencies(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus token-frequency table (token, n) — the tokenizer-training
+    and vocab-coverage input. With ``top_k``, keeps the K most frequent
+    tokens under a total order (n desc, token asc) so the result set is
+    deterministic across partitionings even through count ties.
+
+    Plan shape: classic word-count — explode is narrow, the groupBy
+    partial-aggregates map-side (shuffle carries one row per distinct
+    token per task), and top-k compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge of K rows), never a global sort.
+    """
+    tok = (df.filter(F.length(text_col) > 0)
+           .select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+           .filter(F.length("token") > 0))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
+        counts = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_k)
+    return counts
 
 
 def sample_quota_per_group(
@@ -235,6 +301,8 @@ def filter_domain_blocklist(
 
 __all__ = [
     "sample_hash",
+    "split_by_hash",
+    "token_frequencies",
     "sample_quota_per_group",
     "decontaminate_ngrams",
     "domain_quality_rollup",

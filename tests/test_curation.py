@@ -17,6 +17,8 @@ from siren_spark.functions.curation import (
     filter_domain_blocklist,
     sample_hash,
     sample_quota_per_group,
+    split_by_hash,
+    token_frequencies,
 )
 
 
@@ -93,6 +95,63 @@ def test_sample_quota_small_group_kept_whole(spark, docs):
     assert out.count() == 200  # quota above group size keeps everything
     with pytest.raises(ValueError):
         sample_quota_per_group(docs, quota=0)
+
+
+def test_split_by_hash_partition_and_consistency(spark, docs):
+    out = split_by_hash(docs, splits=[("train", 0.8), ("val", 0.1),
+                                      ("test", 0.1)], salt="sp")
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == 200 and {r.split for r in rows} <= {
+        "train", "val", "test"}
+    again = {(r.doc_id, r.split) for r in
+             split_by_hash(docs.repartition(13),
+                           splits=[("train", 0.8), ("val", 0.1),
+                                   ("test", 0.1)], salt="sp")
+             .select("doc_id", "split").collect()}
+    assert {(r.doc_id, r.split) for r in rows} == again
+    n_train = sum(1 for r in rows if r.split == "train")
+    assert 130 < n_train < 195  # ~160 expected
+
+
+def test_split_by_hash_consistent_with_sample_hash(spark, docs):
+    """The train split at fraction f equals sample_hash at rate f —
+    one shared hash, so samples and splits compose predictably."""
+    tr = {r.doc_id for r in
+          split_by_hash(docs, splits=[("a", 0.4), ("b", 0.6)], salt="z")
+          .filter("split = 'a'").collect()}
+    sh = {r.doc_id for r in
+          sample_hash(docs, rate=0.4, salt="z").collect()}
+    assert tr == sh
+
+
+def test_split_by_hash_validates(spark, docs):
+    with pytest.raises(ValueError):
+        split_by_hash(docs, splits=[("a", 0.5), ("b", 0.2)])
+    with pytest.raises(ValueError):
+        split_by_hash(docs, splits=[("a", 1.5), ("b", -0.5)])
+    plan = split_by_hash(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_token_frequencies_counts_and_topk(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "")], ["doc_id", "text"])
+    full = {r.token: r.n for r in token_frequencies(df).collect()}
+    assert full == {"a": 3, "b": 2, "c": 1}
+    top = token_frequencies(df, top_k=2).collect()
+    assert [(r.token, r.n) for r in
+            sorted(top, key=lambda r: (-r.n, r.token))] == [
+        ("a", 3), ("b", 2)]
+
+
+def test_token_frequencies_topk_tie_break_deterministic(spark):
+    # every token appears exactly once -> top-k decided by token asc
+    df = spark.createDataFrame([(1, "z y x w v")], ["doc_id", "text"])
+    top = {r.token for r in token_frequencies(df, top_k=3).collect()}
+    assert top == {"v", "w", "x"}
+    with pytest.raises(ValueError):
+        token_frequencies(df, top_k=0)
 
 
 # ---------------------------------------------------------- decontamination
