@@ -1190,6 +1190,30 @@ LIMIT 20
 """
 
 
+def _q_tfidf(docs):
+    from siren_spark.functions.curation import tfidf_topk_terms
+    return tfidf_topk_terms(docs, top_k=3)
+
+
+_TFIDF_DUCK = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE length(text) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM tok WHERE length(term) > 0 GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents WHERE length(text) > 0),
+scored AS (SELECT doc_id, term,
+                  ROUND(tf * LN(CAST(n.n AS DOUBLE) / df), 4) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS rank
+           FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _q_sample_quota(docs):
     from pyspark.sql import functions as F
     from siren_spark.functions.curation import sample_quota_per_group
@@ -1347,6 +1371,7 @@ _REGISTRY: dict[str, tuple] = {
     "sample_hash_bernoulli": (_docs_q(_q_sample_hash), _SAMPLE_HASH_DUCK),
     "split_by_hash": (_docs_q(_q_split_by_hash), _SPLIT_DUCK),
     "token_frequencies_topk": (_docs_q(_q_token_freq), _TOKEN_FREQ_DUCK),
+    "tfidf_topk_terms": (_docs_q(_q_tfidf), _TFIDF_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

@@ -308,3 +308,57 @@ __all__ = [
     "domain_quality_rollup",
     "filter_domain_blocklist",
 ]
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the standard keyword /
+    topic-signature extractor a corpus-exploration or mixing pipeline
+    runs over web text (reference parity: per-article keyword columns
+    the scrapers emit; here generalized to corpus-relative weighting).
+
+    Per doc: tf = in-doc term count (whitespace tokens); idf =
+    ln(N / df) with df = number of docs containing the term and N the
+    corpus size; score = ROUND(tf * idf, 4). Returns the ``top_k``
+    terms per doc under the total order (score desc, term asc) with a
+    1-based ``rank`` — deterministic through ties, so the result is
+    independent of partitioning (the driver's value-hash gate relies
+    on this).
+
+    Plan shape at 100 TB: one (doc, term) groupBy with map-side
+    combine builds tf; df reduces tf by term (vocab-sized, Zipf-safe —
+    the combiner collapses hot terms per task before the shuffle); N
+    rides in as a broadcast 1-row cross join (never a driver
+    ``.count()`` — the whole plan stays lazy); the tf-df equi-join
+    shuffles on term; the per-doc top-k is a row_number window
+    partitioned by doc (bounded state per key). No step holds a
+    per-task structure larger than the vocabulary.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    doc = F.col(id_col)
+    tok = (df.filter(F.length(text_col) > 0)
+           .select(doc.alias("__doc"),
+                   F.explode(F.split(F.col(text_col), " ")).alias("term"))
+           .filter(F.length("term") > 0))
+    tf = tok.groupBy("__doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.filter(F.length(text_col) > 0).select(
+        F.count(F.lit(1)).alias("__n"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .select(F.col("__doc"),
+                      "term",
+                      F.round(F.col("tf")
+                              * F.log(F.col("__n").cast("double")
+                                      / F.col("df")), 4).alias("tfidf")))
+    w = Window.partitionBy("__doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(F.col("__doc").alias(id_col), "term", "tfidf",
+                    F.col("rank").cast("int").alias("rank")))

@@ -245,3 +245,49 @@ def test_blocklist_no_data_side_shuffle(spark):
     assert "SortMergeJoin" not in plan
     kept = filter_domain_blocklist(df, bl).count()
     assert kept == 75
+
+
+# ----------------------------------------------------------------- tf-idf
+
+def test_tfidf_hand_values(spark):
+    """3 docs, vocab {a,b,c}: scores match the ln(N/df) formula."""
+    import math
+    from siren_spark.functions.curation import tfidf_topk_terms
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "a c c")], ["doc_id", "text"])
+    out = {(r.doc_id, r.term): (r.tfidf, r.rank)
+           for r in tfidf_topk_terms(d, top_k=3).collect()}
+    # df: a=3, b=2, c=1; N=3
+    assert out[(1, "a")] == (round(2 * math.log(3 / 3), 4), 1) or \
+        out[(1, "a")][0] == 0.0
+    assert out[(1, "b")][0] == round(math.log(3 / 2), 4)
+    assert out[(3, "c")] == (round(2 * math.log(3 / 1), 4), 1)
+    # doc 1: b (0.4055) beats a (0.0); rank order (score desc, term asc)
+    assert out[(1, "b")][1] == 1 and out[(1, "a")][1] == 2
+
+
+def test_tfidf_topk_and_tiebreak(spark):
+    """Equal scores break ties on term asc; top_k truncates per doc."""
+    from siren_spark.functions.curation import tfidf_topk_terms
+    d = spark.createDataFrame(
+        [(1, "x y"), (2, "x z"), (3, "y z")], ["doc_id", "text"])
+    rows = tfidf_topk_terms(d, top_k=1).collect()
+    # every term has df=2, tf=1: all scores equal -> lexicographic win
+    want = {1: "x", 2: "x", 3: "y"}
+    assert {r.doc_id: r.term for r in rows} == want
+    assert all(r.rank == 1 for r in rows)
+
+
+def test_tfidf_partition_independent(spark, docs):
+    from siren_spark.functions.curation import tfidf_topk_terms
+    a = sorted(map(tuple, tfidf_topk_terms(docs, top_k=2).collect()))
+    b = sorted(map(tuple,
+                   tfidf_topk_terms(docs.repartition(17), top_k=2)
+                   .collect()))
+    assert a == b and len(a) == 400  # 200 docs x 2
+
+
+def test_tfidf_validates(spark, docs):
+    from siren_spark.functions.curation import tfidf_topk_terms
+    with pytest.raises(ValueError):
+        tfidf_topk_terms(docs, top_k=0)
