@@ -1190,6 +1190,31 @@ LIMIT 20
 """
 
 
+def _q_normalize(docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.text import with_normalized_text
+    return (with_normalized_text(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text_norm",
+                    F.length("text_norm").cast("long")
+                    .alias("n_chars_norm"),
+                    "changed"))
+
+
+_NORMALIZE_DUCK = r"""
+WITH n AS (SELECT doc_id, text,
+                  trim(regexp_replace(regexp_replace(
+                           nfc_normalize(text),
+                           '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+                       '[ \t\n\f\r\x0B]+', ' ', 'g')) AS text_norm
+           FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text_norm,
+       CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+       (text_norm IS DISTINCT FROM text) AS changed
+FROM n
+"""
+
+
 def _q_tfidf(docs):
     from siren_spark.functions.curation import tfidf_topk_terms
     return tfidf_topk_terms(docs, top_k=3)
@@ -1372,6 +1397,7 @@ _REGISTRY: dict[str, tuple] = {
     "split_by_hash": (_docs_q(_q_split_by_hash), _SPLIT_DUCK),
     "token_frequencies_topk": (_docs_q(_q_token_freq), _TOKEN_FREQ_DUCK),
     "tfidf_topk_terms": (_docs_q(_q_tfidf), _TFIDF_DUCK),
+    "text_normalize": (_docs_q(_q_normalize), _NORMALIZE_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

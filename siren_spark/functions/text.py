@@ -270,6 +270,63 @@ def with_pii_scrubbed(df: DataFrame, text_col: str = "text",
                     PII_PHONE_RE, "<PHONE>")))
 
 
+# C0 control chars (minus \t \n \x0B \f \r, which are whitespace and
+# handled by the collapse step) plus DEL. Hex escapes parse identically
+# in Java regex (Spark) and RE2 (DuckDB oracle) — \s does NOT (\x0B is
+# whitespace to Java but not to RE2), hence the explicit classes.
+CONTROL_CHAR_RE = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+WHITESPACE_RUN_RE = "[ \\t\\n\\f\\r\\x0B]+"
+
+
+def with_normalized_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    form: str | None = "NFC",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Pre-tokenization text cleanup — the first transform every
+    web-text pipeline runs before counting, hashing, or deduping:
+    unicode normalization (NFC by default, so 'é' composed and 'e'+
+    combining-acute hash identically), C0/DEL control-char removal,
+    whitespace-run collapse to single spaces, edge trim. Adds
+    ``out_col`` and a ``changed`` flag; order of operations is fixed
+    (normalize → strip controls → collapse → trim) and mirrored by the
+    DuckDB oracle.
+
+    Flat map, no shuffle. The regex steps are pure JVM; unicode
+    normalization needs Python, so it runs as an Arrow-batched pandas
+    UDF with an ASCII short-circuit — normalization is the identity on
+    ASCII, so English-dominated web batches skip ``unicodedata``
+    entirely and only genuinely non-ASCII strings pay the call. Pass
+    ``form=None`` to drop the UDF from the plan altogether (whole-stage
+    codegen end to end) when upstream already guarantees NFC.
+    """
+    if form not in (None, "NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown unicode form: {form!r}")
+    t = F.col(text_col)
+    if form is not None:
+        _form = form
+
+        @F.pandas_udf("string")
+        def _unorm(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            def one(v: str | None) -> str | None:
+                if v is None or v.isascii():
+                    return v
+                return unicodedata.normalize(_form, v)
+            return s.map(one)
+
+        t = _unorm(t)
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace(t, CONTROL_CHAR_RE, ""),
+        WHITESPACE_RUN_RE, " "))
+    return (df.withColumn(out_col, cleaned)
+            .withColumn("changed",
+                        ~F.col(out_col).eqNullSafe(F.col(text_col))))
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups: (text_hash, canonical_doc, dup_count).
@@ -286,5 +343,6 @@ __all__ = ["with_token_counts", "with_bpe_token_count",
            "with_bpe_token_count_merged", "with_langid",
            "with_quality_score", "with_text_stats", "with_fingerprint",
            "with_repetition_stats", "with_pii_scrubbed",
+           "with_normalized_text", "CONTROL_CHAR_RE", "WHITESPACE_RUN_RE",
            "dedup_exact", "BPE_PRETOKEN_RE", "STOPWORDS",
            "DEFAULT_BPE_MERGES", "PII_EMAIL_RE", "PII_PHONE_RE"]

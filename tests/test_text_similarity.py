@@ -456,3 +456,49 @@ def test_duplicate_span_stats_whitespace_and_window_edge(spark):
     for d in (1, 2):
         assert (out[d].n_windows, out[d].n_dup_windows,
                 out[d].dup_frac) == (1, 1, 1.0)
+
+
+# ---------------------------------------------------------- normalization
+
+def test_normalize_unicode_controls_whitespace(spark):
+    """NFC composes combining marks; C0/DEL stripped; all five ASCII
+    whitespace chars collapse to single spaces; edges trimmed."""
+    from siren_spark.functions.text import with_normalized_text
+    dirty = [
+        (1, "e\u0301clair"),            # NFD input, explicit escape
+        (2, "a\x00b\x07c"),                    # controls removed
+        (3, "  x \t\n\x0b\f\r y  "),           # ws runs + trim
+        (4, None),
+        (5, "clean text"),
+    ]
+    d = spark.createDataFrame(dirty, ["doc_id", "text"])
+    out = {r.doc_id: (r.text_norm, r.changed)
+           for r in with_normalized_text(d).collect()}
+    assert out[1] == ("\u00e9clair", True)   # composed NFC
+    assert out[2] == ("abc", True)
+    assert out[3] == ("x y", True)
+    assert out[4] == (None, False)
+    assert out[5] == ("clean text", False)
+
+
+def test_normalize_form_none_is_pure_jvm(spark):
+    """form=None drops the pandas UDF: no Python evaluation in the
+    plan, and ASCII results match the form='NFC' path."""
+    from siren_spark.functions.text import with_normalized_text
+    d = spark.createDataFrame(
+        [(i, f"  w{i}\tw{i + 1} ") for i in range(20)],
+        ["doc_id", "text"])
+    plan = (with_normalized_text(d, form=None)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    a = sorted(map(tuple,
+                   with_normalized_text(d, form=None).collect()))
+    b = sorted(map(tuple, with_normalized_text(d).collect()))
+    assert a == b
+
+
+def test_normalize_validates_form(spark):
+    from siren_spark.functions.text import with_normalized_text
+    d = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        with_normalized_text(d, form="NFX")
