@@ -1190,6 +1190,43 @@ LIMIT 20
 """
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family source/sink: serialize `documents` as .warc.gz (ISO
+    28500, the CommonCrawl interchange layout — one gzip member per
+    record), read it back with the WARC source, and surface the
+    parsed records. The oracle is the identity on `documents`, so the
+    gate proves byte-exact round-trip fidelity of both the writer and
+    the parser (sources/warc.py)."""
+    import atexit
+    import shutil
+    import tempfile
+    from pyspark.sql import functions as F
+    from siren_spark.sources.warc import read_warc, write_warc
+    _views(spark, sf_dir)
+    staged = spark.table("documents").select(
+        F.concat(F.lit("https://corpus.example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").cast("binary").alias("payload"))
+    out = tempfile.mkdtemp(prefix="entry_warc_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    write_warc(staged, out)
+    return read_warc(spark, out).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "url",
+        F.col("payload").cast("string").alias("payload_text"),
+        F.col("content_length").cast("long").alias("content_length"))
+
+
+_WARC_DUCK = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'https://corpus.example/doc/' || doc_id AS url,
+       text AS payload_text,
+       CAST(strlen(text) AS BIGINT) AS content_length
+FROM documents
+"""
+
+
 def _q_normalize(docs):
     from pyspark.sql import functions as F
     from siren_spark.functions.text import with_normalized_text
@@ -1398,6 +1435,7 @@ _REGISTRY: dict[str, tuple] = {
     "token_frequencies_topk": (_docs_q(_q_token_freq), _TOKEN_FREQ_DUCK),
     "tfidf_topk_terms": (_docs_q(_q_tfidf), _TFIDF_DUCK),
     "text_normalize": (_docs_q(_q_normalize), _NORMALIZE_DUCK),
+    "warc_roundtrip": (_q_warc_roundtrip, _WARC_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),
