@@ -1190,6 +1190,50 @@ LIMIT 20
 """
 
 
+_CLF_BIAS_MILLI = 100
+
+
+def _q_classifier(docs):
+    """Model-based quality filtering (fastText shape): weights are
+    synthesized deterministically from the corpus vocabulary (milli-
+    weight = hash of the token), so the gate exercises the real scoring
+    operator end to end with a weight table both engines can rebuild
+    bit-identically."""
+    from pyspark.sql import functions as F
+    from siren_spark.functions.curation import score_linear_classifier
+    vocab = (docs.filter(F.length("text") > 0)
+             .select(F.explode(F.split("text", " ")).alias("token"))
+             .filter(F.length("token") > 0).distinct())
+    weights = vocab.select(
+        "token",
+        (F.conv(F.substring(F.md5(F.concat(F.lit("w|"), F.col("token"))),
+                            1, 6), 16, 10).cast("long") % 2001 - 1000)
+        .alias("weight_milli"))
+    out = score_linear_classifier(docs, weights,
+                                  bias_milli=_CLF_BIAS_MILLI)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "logit", "label")
+
+
+_CLF_DUCK = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents WHERE length(text) > 0),
+tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+w AS (SELECT DISTINCT token,
+             (('0x' || substr(md5('w|' || token), 1, 6))::BIGINT % 2001)
+               - 1000 AS wm
+      FROM tok2),
+agg AS (SELECT doc_id, SUM(COALESCE(wm, 0)) AS s, COUNT(*) AS n
+        FROM tok2 LEFT JOIN w USING (token) GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(({_CLF_BIAS_MILLI}::DOUBLE
+              + CAST(s AS DOUBLE) / n) / 1000.0, 4) AS logit,
+       (ROUND(({_CLF_BIAS_MILLI}::DOUBLE
+               + CAST(s AS DOUBLE) / n) / 1000.0, 4) >= 0) AS label
+FROM agg
+"""
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-family source/sink: serialize `documents` as .warc.gz (ISO
     28500, the CommonCrawl interchange layout — one gzip member per
@@ -1436,6 +1480,7 @@ _REGISTRY: dict[str, tuple] = {
     "tfidf_topk_terms": (_docs_q(_q_tfidf), _TFIDF_DUCK),
     "text_normalize": (_docs_q(_q_normalize), _NORMALIZE_DUCK),
     "warc_roundtrip": (_q_warc_roundtrip, _WARC_DUCK),
+    "classifier_score_linear": (_docs_q(_q_classifier), _CLF_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

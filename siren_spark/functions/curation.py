@@ -362,3 +362,59 @@ def tfidf_topk_terms(
             .filter(F.col("rank") <= top_k)
             .select(F.col("__doc").alias(id_col), "term", "tfidf",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def score_linear_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    weight_col: str = "weight_milli",
+    bias_milli: int = 0,
+    broadcast_weights: bool = True,
+    out_col: str = "logit",
+) -> DataFrame:
+    """Bag-of-words linear classifier scoring — the model-based quality
+    filter shape (fastText-style: FineWeb-Edu / DCLM / CCNet run
+    exactly this to keep or drop documents at corpus scale). ``weights``
+    is a (token, weight_milli BIGINT) table — integer milli-weights so
+    the per-doc accumulation is integer-exact and the result is
+    independent of summation order (float sums are not; the driver's
+    value-hash gate and any 1000-executor re-run rely on this).
+
+    logit = (bias_milli + Σ w_milli(t)·count(t) / n_tokens) / 1000 —
+    the fastText mean-of-token-scores form, ROUND 4. ``label`` =
+    logit >= 0 (≡ sigmoid >= 0.5; sigmoid is monotone so thresholding
+    on the logit avoids cross-engine exp() divergence). Out-of-vocab
+    tokens weigh 0 but still count in n_tokens, as in fastText.
+
+    Plan shape at 100 TB: explode is narrow; the vocab join is a
+    broadcast hash join by default (a pruned fastText vocab is
+    ~10^5-10^6 rows — set ``broadcast_weights=False`` to shuffle-join
+    a huge vocab on the token key instead); one combiner-friendly
+    groupBy per doc carries (sum, count) longs. The scored frame never
+    holds more than one row per (doc, token).
+    """
+    t = F.col(text_col)
+    tok = (df.filter(F.length(t) > 0)
+           .select(F.col(id_col).alias("__doc"),
+                   F.explode(F.split(t, " ")).alias("__tok"))
+           .filter(F.length("__tok") > 0))
+    w = weights.select(F.col(token_col).alias("__tok"),
+                       F.col(weight_col).cast("long").alias("__w"))
+    if broadcast_weights:
+        w = F.broadcast(w)
+    scored = (tok.join(w, "__tok", "left")
+              .groupBy("__doc")
+              .agg(F.sum(F.coalesce(F.col("__w"), F.lit(0)))
+                   .alias("__sum"),
+                   F.count(F.lit(1)).alias("__n")))
+    logit = F.round(
+        (F.lit(float(bias_milli))
+         + F.col("__sum").cast("double") / F.col("__n")) / F.lit(1000.0),
+        4)
+    return (scored.select(F.col("__doc").alias(id_col),
+                          logit.alias(out_col))
+            .withColumn("label", F.col(out_col) >= 0))

@@ -291,3 +291,49 @@ def test_tfidf_validates(spark, docs):
     from siren_spark.functions.curation import tfidf_topk_terms
     with pytest.raises(ValueError):
         tfidf_topk_terms(docs, top_k=0)
+
+
+# ------------------------------------------------------- linear classifier
+
+def test_classifier_hand_values_and_oov(spark):
+    """logit = (bias + sum(w*count)/n_tokens)/1000; OOV tokens weigh 0
+    but count in the denominator (fastText mean-of-scores)."""
+    from siren_spark.functions.curation import score_linear_classifier
+    d = spark.createDataFrame(
+        [(1, "good good bad"), (2, "oov oov oov"), (3, "")],
+        ["doc_id", "text"])
+    w = spark.createDataFrame(
+        [("good", 900), ("bad", -600)], ["token", "weight_milli"])
+    out = {r.doc_id: (r.logit, r.label)
+           for r in score_linear_classifier(d, w, bias_milli=50)
+           .collect()}
+    # doc1: (50 + (2*900 - 600)/3)/1000 = 0.45
+    assert out[1] == (0.45, True)
+    # doc2: all OOV -> (50 + 0)/1000
+    assert out[2] == (0.05, True)
+    assert 3 not in out  # empty text excluded
+
+
+def test_classifier_negative_label(spark):
+    from siren_spark.functions.curation import score_linear_classifier
+    d = spark.createDataFrame([(1, "bad bad")], ["doc_id", "text"])
+    w = spark.createDataFrame([("bad", -400)], ["token", "weight_milli"])
+    r = score_linear_classifier(d, w).first()
+    assert r.logit == -0.4 and r.label is False
+
+
+def test_classifier_broadcast_vs_shuffle_join(spark, docs):
+    """Both join strategies produce identical results; default plan
+    broadcasts the vocab, opt-out plan does not."""
+    from pyspark.sql import functions as F
+    from siren_spark.functions.curation import score_linear_classifier
+    w = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+         .distinct()
+         .select("token", (F.crc32("token") % 1001 - 500)
+                 .cast("long").alias("weight_milli")))
+    a = score_linear_classifier(docs, w)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    b = score_linear_classifier(docs, w, broadcast_weights=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple,
+                                                         b.collect()))
