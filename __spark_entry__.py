@@ -1190,6 +1190,40 @@ LIMIT 20
 """
 
 
+_SESSION_GAP_S = 21600
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from siren_spark.operators.sessionize import sessionize
+    _views(spark, sf_dir)
+    return sessionize(spark.table("events"),
+                      gap_seconds=_SESSION_GAP_S, value_col="value")
+
+
+_SESSION_DUCK = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w)
+                      > {_SESSION_GAP_S} THEN 1 ELSE 0 END AS opens
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS seq
+  FROM e)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       CAST(FLOOR(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT)
+         AS duration_s,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_sum_c
+FROM s GROUP BY user_id, seq
+"""
+
+
 _CLF_BIAS_MILLI = 100
 
 
@@ -1481,6 +1515,7 @@ _REGISTRY: dict[str, tuple] = {
     "text_normalize": (_docs_q(_q_normalize), _NORMALIZE_DUCK),
     "warc_roundtrip": (_q_warc_roundtrip, _WARC_DUCK),
     "classifier_score_linear": (_docs_q(_q_classifier), _CLF_DUCK),
+    "sessionize_gap": (_q_sessionize, _SESSION_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

@@ -224,3 +224,67 @@ def test_robots_cogroup_matches_broadcast(spark):
     assert got["https://a.example/private/x"] is False
     assert got["https://a.example/private/ok/y"] is True
     assert got["https://norules.example/z"] is True
+
+
+# ------------------------------------------------------------ sessionize
+
+def _ev(spark, rows):
+    from pyspark.sql import functions as F
+    return (spark.createDataFrame(rows, ["user_id", "event_id", "ts_s",
+                                         "value"])
+            .select("user_id", "event_id",
+                    F.timestamp_seconds("ts_s").cast("timestamp_ntz")
+                    .alias("ts"), "value"))
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Gap exactly == threshold stays in-session; gap+epsilon opens a
+    new one. Session seq is 1-based per user."""
+    from siren_spark.operators.sessionize import sessionize
+    rows = [(1, 0, 0.0, 1.0),
+            (1, 1, 100.0, 1.0),          # +100s   same session
+            (1, 2, 200.0, 1.0),          # +100s   same session
+            (1, 3, 500.0, 1.0),          # +300s   == gap, same session
+            (1, 4, 800.000001, 1.0),     # just over gap -> new session
+            (2, 5, 50.0, 2.5)]
+    out = {(r.user_id, r.session_seq): (r.n_events, r.duration_s)
+           for r in sessionize(_ev(spark, rows), gap_seconds=300,
+                               value_col="value").collect()}
+    assert out[(1, 1)] == (4, 500)
+    assert out[(1, 2)] == (1, 0)
+    assert out[(2, 1)] == (1, 0)
+
+
+def test_sessionize_value_cents_and_bounds(spark):
+    from siren_spark.operators.sessionize import sessionize
+    rows = [(7, 1, 10.0, 1.23), (7, 2, 20.5, 4.56)]
+    r = sessionize(_ev(spark, rows), gap_seconds=60,
+                   value_col="value").first()
+    assert r.n_events == 2 and r.value_sum_c == 579
+    assert r.duration_s == 10  # 10.5s truncated to whole seconds
+    assert (r.end_ts - r.start_ts).total_seconds() == 10.5
+
+
+def test_sessionize_partition_independent_single_exchange(spark):
+    """Same result at any input partitioning, and the whole plan runs
+    off ONE exchange on the key (lag, running sum, and the final
+    aggregate reuse the partitioning)."""
+    from siren_spark.operators.sessionize import sessionize
+    rows = [(u, u * 1000 + i, float(i * 200 + (i // 10) * 10000 + u), 1.0)
+            for u in range(20) for i in range(30)]
+    d = _ev(spark, rows)
+    a = sorted(map(tuple, sessionize(d, gap_seconds=300).collect()))
+    b = sorted(map(tuple, sessionize(d.repartition(13), gap_seconds=300)
+                   .collect()))
+    assert a == b and len(a) == 60  # 3 sessions per user
+    plan = (sessionize(d, gap_seconds=300)
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_sessionize_validates(spark):
+    import pytest
+    from siren_spark.operators.sessionize import sessionize
+    with pytest.raises(ValueError):
+        sessionize(_ev(spark, [(1, 1, 0.0, 1.0)]), gap_seconds=0)
