@@ -1190,6 +1190,45 @@ LIMIT 20
 """
 
 
+def _q_warc_random_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-indexed random access: write `documents` as .warc.gz with
+    offset sidecars, filter the (tiny) index to doc_id % 7 == 0, and
+    seek-read ONLY those gzip members — the targeted re-extraction
+    path (never a full-archive scan). Oracle = the same filter on
+    `documents`, so offsets, member framing, and parse are all proven
+    byte-exact."""
+    import atexit
+    import shutil
+    import tempfile
+    from pyspark.sql import functions as F
+    from siren_spark.sources.warc import (fetch_warc_records, read_cdx,
+                                          write_warc)
+    _views(spark, sf_dir)
+    staged = spark.table("documents").select(
+        F.concat(F.lit("https://corpus.example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").cast("binary").alias("payload"))
+    out = tempfile.mkdtemp(prefix="entry_warc_cdx_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    write_warc(staged, out, cdx=True, max_file_bytes=64 << 10)
+    idx = read_cdx(spark, out)
+    doc_id = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+    sel = idx.filter(doc_id % 7 == 0)
+    return fetch_warc_records(spark, out, sel).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("payload").cast("string").alias("payload_text"),
+        F.col("content_length").cast("long").alias("content_length"))
+
+
+_WARC_RA_DUCK = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       text AS payload_text,
+       CAST(strlen(text) AS BIGINT) AS content_length
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
 _SESSION_GAP_S = 21600
 
 
@@ -1516,6 +1555,7 @@ _REGISTRY: dict[str, tuple] = {
     "warc_roundtrip": (_q_warc_roundtrip, _WARC_DUCK),
     "classifier_score_linear": (_docs_q(_q_classifier), _CLF_DUCK),
     "sessionize_gap": (_q_sessionize, _SESSION_DUCK),
+    "warc_random_access": (_q_warc_random_access, _WARC_RA_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

@@ -92,19 +92,25 @@ def _warcinfo_bytes(date: str) -> bytes:
 
 
 class _RotatingWriter:
-    """Per-task WARC file writer, rolling at max_file_bytes."""
+    """Per-task WARC file writer, rolling at max_file_bytes. With
+    ``cdx=True`` each rolled file gets a ``<name>.cdx`` sidecar of
+    tab-separated (url, offset, length) lines — offset/length of the
+    record's own gzip member (or raw record bytes when uncompressed),
+    so a reader can fetch any single record with one seek."""
 
     def __init__(self, path: str, pid: int, *, gzip_members: bool,
-                 max_file_bytes: int, info_date: str):
+                 max_file_bytes: int, info_date: str, cdx: bool = False):
         self.path, self.pid = path, pid
         self.gzip_members = gzip_members
         self.max_file_bytes = max_file_bytes
         self.info_date = info_date
+        self.cdx = cdx
         self.seq = -1
         self.fh = None
         self.bytes_in_file = 0
         self.manifest: list[tuple[str, int, int]] = []
         self.n_in_file = 0
+        self.cdx_rows: list[tuple[str, int, int]] = []
 
     def _roll(self) -> None:
         self._close()
@@ -115,25 +121,35 @@ class _RotatingWriter:
         self.current = name
         self.bytes_in_file = 0
         self.n_in_file = 0
+        self.cdx_rows = []
         self._emit(_warcinfo_bytes(self.info_date))
 
-    def _emit(self, record: bytes) -> None:
+    def _emit(self, record: bytes) -> int:
         if self.gzip_members:
             record = gzip.compress(record, mtime=0)
         self.fh.write(record)
         self.bytes_in_file += len(record)
+        return len(record)
 
-    def write(self, record: bytes) -> None:
+    def write(self, record: bytes, url: str | None = None) -> None:
         if self.fh is None or self.bytes_in_file >= self.max_file_bytes:
             self._roll()
-        self._emit(record)
+        offset = self.bytes_in_file
+        length = self._emit(record)
         self.n_in_file += 1
+        if self.cdx and url is not None:
+            self.cdx_rows.append((url, offset, length))
 
     def _close(self) -> None:
         if self.fh is not None:
             self.fh.close()
             self.manifest.append(
                 (self.current, self.n_in_file, self.bytes_in_file))
+            if self.cdx:
+                with open(os.path.join(self.path,
+                                       self.current + ".cdx"), "w") as fh:
+                    for url, off, ln in self.cdx_rows:
+                        fh.write(f"{url}\t{off}\t{ln}\n")
             self.fh = None
 
     def close(self) -> list[tuple[str, int, int]]:
@@ -152,12 +168,15 @@ def write_warc(
     content_type: str = "application/http; msgtype=response",
     gzip_members: bool = True,
     max_file_bytes: int = 1 << 30,
+    cdx: bool = False,
 ) -> DataFrame:
     """Write (url, payload) rows as WARC files under ``path``.
 
     Returns the small per-file manifest DataFrame (file, n_records,
     n_bytes) — already materialized (the write has happened when this
     returns), so callers can assert counts without re-scanning.
+    ``cdx=True`` additionally writes a ``<file>.cdx`` offset sidecar
+    per file (see ``read_cdx`` / ``fetch_warc_records``).
     """
     os.makedirs(path, exist_ok=True)
     cols = [F.col(url_col).cast("string").alias("url"),
@@ -173,7 +192,7 @@ def write_warc(
         pid = TaskContext.get().partitionId()
         w = _RotatingWriter(path, pid, gzip_members=gzip_members,
                             max_file_bytes=max_file_bytes,
-                            info_date=DEFAULT_DATE)
+                            info_date=DEFAULT_DATE, cdx=cdx)
         for pdf in batches:
             dates = (pdf["date"] if has_date
                      else pd.Series([DEFAULT_DATE] * len(pdf)))
@@ -188,7 +207,7 @@ def write_warc(
                     ("WARC-Date", date),
                     ("WARC-Target-URI", url),
                     ("Content-Type", content_type),
-                ], body))
+                ], body), url=url)
         rows = w.close()
         yield pd.DataFrame(rows, columns=["file", "n_records", "n_bytes"])
 
@@ -301,4 +320,78 @@ def read_warc(
     return files.mapInPandas(parse, schema=READ_SCHEMA)
 
 
-__all__ = ["write_warc", "read_warc", "READ_SCHEMA", "DEFAULT_DATE"]
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Read the ``.cdx`` offset sidecars under ``path`` as a DataFrame
+    (url, file, offset, length). The index is tiny relative to the
+    archive (~40 bytes/record vs pages), so it usually broadcasts —
+    this is exactly CommonCrawl's CDX consumption pattern: query the
+    index, fetch only the matching members."""
+    lines = (spark.read.format("text")
+             .option("pathGlobFilter", "*.cdx")
+             .load(path)
+             .select(F.split(F.col("value"), "\t").alias("p"),
+                     F.element_at(F.split(F.input_file_name(), "/"), -1)
+                     .alias("sidecar")))
+    return lines.select(
+        F.col("p")[0].alias("url"),
+        F.regexp_replace("sidecar", r"\.cdx$", "").alias("file"),
+        F.col("p")[1].cast("long").alias("offset"),
+        F.col("p")[2].cast("long").alias("length"))
+
+
+def fetch_warc_records(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    *,
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """Random-access fetch: given CDX index rows (file, offset,
+    length[, url]), seek-read exactly those members from the WARC
+    files under ``path`` and parse them — never scanning a full file.
+
+    This is the targeted re-extraction path at scale: filter the
+    (tiny) index with ordinary DataFrame ops, then pay I/O only for
+    the selected records — re-parsing 10^6 pages out of a 10^10-page
+    archive touches ~0.01% of the bytes. Each task sorts its index
+    rows by (file, offset) so reads are sequential per file handle.
+    """
+    idx = index.select("file", "offset", "length")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["warc_file", "warc_type", "record_id", "url",
+                "warc_date", "content_type", "content_length", "payload"]
+        pending: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["file", "offset"])
+            open_name, fh = None, None
+            try:
+                for fname, off, ln in zip(pdf["file"], pdf["offset"],
+                                          pdf["length"]):
+                    if fname != open_name:
+                        if fh is not None:
+                            fh.close()
+                        fh = open(os.path.join(path, fname), "rb")
+                        open_name = fname
+                    fh.seek(int(off))
+                    blob = fh.read(int(ln))
+                    if len(blob) != int(ln):
+                        raise ValueError(
+                            f"{fname}: short read at offset {off}")
+                    if fname.endswith(".gz"):
+                        blob = next(_gzip_members(blob))
+                    pending.extend(_parse_records(blob, fname))
+                    if len(pending) >= batch_rows:
+                        yield pd.DataFrame(pending, columns=cols)
+                        pending = []
+            finally:
+                if fh is not None:
+                    fh.close()
+        if pending:
+            yield pd.DataFrame(pending, columns=cols)
+
+    return idx.mapInPandas(fetch, schema=READ_SCHEMA)
+
+
+__all__ = ["write_warc", "read_warc", "read_cdx", "fetch_warc_records",
+           "READ_SCHEMA", "DEFAULT_DATE"]

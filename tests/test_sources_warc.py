@@ -138,3 +138,57 @@ def test_truncated_gzip_member_raises(spark):
         fh.write(good[:-4])
     with pytest.raises(Exception, match="truncated gzip"):
         read_warc(spark, out).count()
+
+
+# ------------------------------------------------------- CDX random access
+
+def test_cdx_index_and_random_access(spark):
+    from siren_spark.sources.warc import fetch_warc_records, read_cdx
+    out = tempfile.mkdtemp(prefix="warc_t_")
+    write_warc(_staged(spark, n=40, parts=3), out, cdx=True,
+               max_file_bytes=900)
+    idx = read_cdx(spark, out)
+    assert idx.count() == 40
+    # warcinfo records are not indexed: every offset is > 0
+    assert idx.filter(F.col("offset") <= 0).count() == 0
+    sel = idx.filter(F.col("url").rlike("/p/1?3$"))   # 3, 13
+    got = {r.url: bytes(r.payload)
+           for r in fetch_warc_records(spark, out, sel).collect()}
+    assert got == {"https://t.example/p/3": b"body-3",
+                   "https://t.example/p/13": b"body-13"}
+
+
+def test_cdx_offsets_are_member_exact(spark):
+    """Seek+read of (offset, length) yields a standalone gzip member
+    parseable WITHOUT any surrounding file context."""
+    import gzip as _gz
+    from siren_spark.sources.warc import read_cdx
+    out = tempfile.mkdtemp(prefix="warc_t_")
+    write_warc(_staged(spark, n=5, parts=1), out, cdx=True)
+    row = read_cdx(spark, out).orderBy("url").first()
+    with open(os.path.join(out, row.file), "rb") as fh:
+        fh.seek(row.offset)
+        member = fh.read(row.length)
+    rec = _gz.decompress(member)
+    assert rec.startswith(b"WARC/1.0\r\n")
+    assert row.url.encode() in rec
+
+
+def test_cdx_random_access_plain_warc(spark):
+    from siren_spark.sources.warc import fetch_warc_records, read_cdx
+    out = tempfile.mkdtemp(prefix="warc_t_")
+    write_warc(_staged(spark, n=10, parts=2), out, cdx=True,
+               gzip_members=False)
+    idx = read_cdx(spark, out).filter(F.col("url").endswith("8"))
+    got = fetch_warc_records(spark, out, idx).collect()
+    assert len(got) == 1 and bytes(got[0].payload) == b"body-8"
+
+
+def test_fetch_short_read_raises(spark):
+    from siren_spark.sources.warc import fetch_warc_records, read_cdx
+    out = tempfile.mkdtemp(prefix="warc_t_")
+    write_warc(_staged(spark, n=3, parts=1), out, cdx=True)
+    idx = read_cdx(spark, out).withColumn(
+        "offset", F.col("offset") + F.lit(10 ** 6))
+    with pytest.raises(Exception, match="short read"):
+        fetch_warc_records(spark, out, idx).count()
