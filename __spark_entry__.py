@@ -1190,6 +1190,23 @@ LIMIT 20
 """
 
 
+def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from siren_spark.operators.sessionize import tumbling_rollup
+    _views(spark, sf_dir)
+    return tumbling_rollup(spark.table("events"), width_seconds=3600,
+                           key_col="event_type", value_col="value")
+
+
+_TUMBLING_DUCK = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_sum_c
+FROM events GROUP BY 1, 2
+"""
+
+
 def _q_warc_random_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-indexed random access: write `documents` as .warc.gz with
     offset sidecars, filter the (tiny) index to doc_id % 7 == 0, and
@@ -1556,6 +1573,7 @@ _REGISTRY: dict[str, tuple] = {
     "classifier_score_linear": (_docs_q(_q_classifier), _CLF_DUCK),
     "sessionize_gap": (_q_sessionize, _SESSION_DUCK),
     "warc_random_access": (_q_warc_random_access, _WARC_RA_DUCK),
+    "events_tumbling_rollup": (_q_tumbling, _TUMBLING_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

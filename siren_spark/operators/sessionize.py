@@ -84,4 +84,42 @@ def sessionize(
                     *(["value_sum_c"] if value_col else [])))
 
 
-__all__ = ["sessionize"]
+def tumbling_rollup(
+    df: DataFrame,
+    *,
+    width_seconds: int = 3600,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Tumbling-window rollup: one row per (window_start[, key]) with
+    n_events and optional integer-cent value sum — the batch face of
+    the Structured Streaming windowed aggregation (same ``F.window``
+    construct a ``readStream`` pipeline uses with a watermark; see
+    streaming/drain.py for the streaming side of this engine).
+
+    One combiner-friendly groupBy: partial aggregation map-side, the
+    shuffle carries one row per (window, key) per task — safe at any
+    event volume; skew only if a single (window, key) dominates, in
+    which case pre-salt exactly as operators/politeness.py does.
+
+    ``width_seconds`` must divide 86400 so windows align with every
+    epoch-based bucketing convention (Spark aligns to the 1970 epoch,
+    other engines to 2000-01-01; both are midnight-aligned, so
+    day-dividing widths agree everywhere).
+    """
+    if width_seconds <= 0 or 86400 % width_seconds != 0:
+        raise ValueError(
+            f"width_seconds must divide 86400, got {width_seconds}")
+    win = F.window(F.col(ts_col), f"{width_seconds} seconds")
+    keys = [win["start"].alias("window_start")]
+    if key_col is not None:
+        keys.append(F.col(key_col))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                    .alias("value_sum_c"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+__all__ = ["sessionize", "tumbling_rollup"]

@@ -288,3 +288,28 @@ def test_sessionize_validates(spark):
     from siren_spark.operators.sessionize import sessionize
     with pytest.raises(ValueError):
         sessionize(_ev(spark, [(1, 1, 0.0, 1.0)]), gap_seconds=0)
+
+
+def test_tumbling_rollup_hand_values(spark):
+    from siren_spark.operators.sessionize import tumbling_rollup
+    rows = [(1, 1, 10.0, 1.00), (1, 2, 3599.0, 2.00),   # hour 0
+            (1, 3, 3600.0, 4.00),                       # hour 1
+            (2, 4, 7200.5, 0.25)]                       # hour 2
+    out = {r.window_start.hour: (r.n_events, r.value_sum_c)
+           for r in tumbling_rollup(_ev(spark, rows), width_seconds=3600,
+                                    value_col="value").collect()}
+    assert out == {0: (2, 300), 1: (1, 400), 2: (1, 25)}
+
+
+def test_tumbling_rollup_keyed_and_validates(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from siren_spark.operators.sessionize import tumbling_rollup
+    rows = [(u, u * 10 + i, float(i), 1.0)
+            for u in range(3) for i in range(4)]
+    d = _ev(spark, rows)
+    out = tumbling_rollup(d, width_seconds=60, key_col="user_id")
+    assert out.count() == 3 and out.agg(
+        F.sum("n_events")).first()[0] == 12
+    with pytest.raises(ValueError):
+        tumbling_rollup(d, width_seconds=7)   # does not divide 86400
