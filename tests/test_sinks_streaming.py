@@ -288,3 +288,133 @@ def test_politeness_throttle_rejects_bad_epochs(spark, tmp_path):
             budget_per_host=2, epoch_col="epoch")
         with pytest.raises(StreamingQueryException, match=frag):
             q.awaitTermination(120)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Closed sessions from the stateful streaming sessionizer ==
+    the batch operator's sessions, minus each key's final (still
+    open) one — even when a micro-batch boundary lands mid-session."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from siren_spark.operators.sessionize import sessionize
+    from siren_spark.streaming.session_state import run_session_query
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_s", DoubleType()),
+        StructField("value", DoubleType()),
+    ])
+    rows = [(u, u * 100 + s * 10 + i,
+             float(s * 5000 + i * 60 + u), 1.0 + i)
+            for u in range(6) for s in range(3) for i in range(4)]
+    # split mid-session-2 so state must carry an open session across
+    # the trigger boundary
+    cut = 5000 + 2 * 60
+    b1 = [r for r in rows if r[2] < cut]
+    b2 = [r for r in rows if r[2] >= cut]
+
+    def to_events(df):
+        return df.select("user_id", "event_id",
+                         F.timestamp_seconds("ts_s")
+                         .cast("timestamp_ntz").alias("ts"), "value")
+
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = to_events(spark.readStream.schema(schema)
+                       .option("maxFilesPerTrigger", "1")
+                       .format("parquet").load(src))
+    q = run_session_query(stream, out, ck, gap_seconds=300,
+                          value_col="value")
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = run_session_query(stream, out, ck, gap_seconds=300,
+                          value_col="value")
+    q.awaitTermination(120)
+    time.sleep(0.5)
+
+    got = sorted(
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us,
+         r.duration_s, r.value_sum_c)
+        for r in spark.read.parquet(out).collect())
+
+    batch = sessionize(
+        to_events(spark.createDataFrame(rows, schema)),
+        gap_seconds=300, value_col="value")
+    last_seq = {r.user_id: r.mx for r in
+                batch.groupBy("user_id")
+                .agg(F.max("session_seq").alias("mx")).collect()}
+
+    def us(dt):
+        import calendar
+        return (calendar.timegm(dt.timetuple()) * 10 ** 6
+                + dt.microsecond)
+
+    want = sorted(
+        (r.user_id, r.session_seq, r.n_events, us(r.start_ts),
+         us(r.end_ts), r.duration_s, r.value_sum_c)
+        for r in batch.collect()
+        if r.session_seq != last_seq[r.user_id])
+    assert got == want and len(got) == 12  # 6 users x 2 closed
+
+
+def test_streaming_sessionize_late_row_merges_without_rewind(spark,
+                                                             tmp_path):
+    """A cross-batch late row joins the open session's counts but never
+    moves its clock backwards or reopens an emitted session."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from siren_spark.streaming.session_state import run_session_query
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_s", DoubleType()),
+        StructField("value", DoubleType()),
+    ])
+
+    def to_events(df):
+        return df.select("user_id", "event_id",
+                         F.timestamp_seconds("ts_s")
+                         .cast("timestamp_ntz").alias("ts"), "value")
+
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame([(1, 1, 100.0, 1.0)], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = to_events(spark.readStream.schema(schema)
+                       .option("maxFilesPerTrigger", "1")
+                       .format("parquet").load(src))
+    q = run_session_query(stream, out, ck, gap_seconds=300,
+                          value_col="value")
+    q.awaitTermination(120)
+    # batch 2: one late row (ts 50 < 100) + one far-future row that
+    # closes the session
+    spark.createDataFrame([(1, 2, 50.0, 2.0), (1, 3, 99999.0, 4.0)],
+                          schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = run_session_query(stream, out, ck, gap_seconds=300,
+                          value_col="value")
+    q.awaitTermination(120)
+    time.sleep(0.5)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # late row counted (n=2, cents 100+200) but clock stays at ts=100
+    assert (r.n_events, r.value_sum_c) == (2, 300)
+    assert r.start_us == r.end_us == 100 * 10 ** 6
+    assert r.duration_s == 0
