@@ -1190,6 +1190,39 @@ LIMIT 20
 """
 
 
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: for every non-purchase event, the user's
+    most recent purchase at or before it (union-sort-carry as-of join,
+    operators/asof.py) — oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql import functions as F
+    from siren_spark.operators.asof import asof_join
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    lhs = (ev.filter(F.col("event_type") != "purchase")
+           .select(F.col("event_id").cast("long").alias("event_id"),
+                   F.col("user_id").cast("long").alias("user_id"), "ts"))
+    rhs = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "ts",
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("px_c")))
+    return asof_join(lhs, rhs, on="ts", by="user_id",
+                     value_cols=["px_c"])
+
+
+_ASOF_DUCK = """
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(l.user_id AS BIGINT) AS user_id, l.ts,
+       r.px_c AS asof_px_c,
+       r.ts AS asof_ts
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type <> 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts,
+                       CAST(ROUND(value * 100) AS BIGINT) AS px_c
+                FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from siren_spark.operators.sessionize import tumbling_rollup
     _views(spark, sf_dir)
@@ -1574,6 +1607,7 @@ _REGISTRY: dict[str, tuple] = {
     "sessionize_gap": (_q_sessionize, _SESSION_DUCK),
     "warc_random_access": (_q_warc_random_access, _WARC_RA_DUCK),
     "events_tumbling_rollup": (_q_tumbling, _TUMBLING_DUCK),
+    "asof_join_backward": (_q_asof, _ASOF_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

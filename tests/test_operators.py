@@ -313,3 +313,71 @@ def test_tumbling_rollup_keyed_and_validates(spark):
         F.sum("n_events")).first()[0] == 12
     with pytest.raises(ValueError):
         tumbling_rollup(d, width_seconds=7)   # does not divide 86400
+
+
+# -------------------------------------------------------------- as-of join
+
+def test_asof_join_hand_values(spark):
+    """Backward inclusive: same-ts right row matches; earlier rows
+    carry forward; left rows before any right row get nulls."""
+    from siren_spark.operators.asof import asof_join
+    left = _ev(spark, [(1, 1, 5.0, 0.0), (1, 2, 10.0, 0.0),
+                       (1, 3, 25.0, 0.0), (2, 4, 10.0, 0.0)]) \
+        .drop("value")
+    right = _ev(spark, [(1, 90, 10.0, 1.11), (1, 91, 20.0, 2.22)]) \
+        .drop("event_id").withColumnRenamed("value", "px")
+    out = {r.event_id: (r.asof_px, r.asof_ts)
+           for r in asof_join(left, right, value_cols=["px"]).collect()}
+    assert out[1] == (None, None)             # before first right row
+    assert out[2][0] == 1.11                  # ts == right ts: inclusive
+    assert out[3][0] == 2.22                  # latest prior carries
+    assert out[4] == (None, None)             # other key never matches
+    assert len(out) == 4                      # every left row survives
+
+
+def test_asof_join_tolerance(spark):
+    from siren_spark.operators.asof import asof_join
+    left = _ev(spark, [(1, 1, 100.0, 0.0), (1, 2, 500.0, 0.0)]) \
+        .drop("value")
+    right = _ev(spark, [(1, 9, 90.0, 7.0)]) \
+        .drop("event_id").withColumnRenamed("value", "px")
+    out = {r.event_id: r.asof_px
+           for r in asof_join(left, right, value_cols=["px"],
+                              tolerance_seconds=60).collect()}
+    assert out[1] == 7.0       # 10s old: in tolerance
+    assert out[2] is None      # 410s old: nulled
+
+
+def test_asof_join_partition_independent_single_exchange(spark):
+    import re
+    from siren_spark.operators.asof import asof_join
+    left = _ev(spark, [(u, u * 1000 + i, float(i * 10 + u), 0.0)
+                       for u in range(10) for i in range(20)]).drop("value")
+    right = _ev(spark, [(u, u, float(i * 35 + 1), float(i))
+                        for u in range(10) for i in range(5)]) \
+        .drop("event_id").withColumnRenamed("value", "px")
+    a = sorted(map(tuple, asof_join(left, right,
+                                    value_cols=["px"]).collect()))
+    b = sorted(map(tuple,
+                   asof_join(left.repartition(17), right.repartition(3),
+                             value_cols=["px"]).collect()))
+    assert a == b and len(a) == 200
+    plan = (asof_join(left, right, value_cols=["px"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_asof_join_validates(spark):
+    import pytest
+    from siren_spark.operators.asof import asof_join
+    left = _ev(spark, [(1, 1, 1.0, 0.0)]).drop("value")
+    right = _ev(spark, [(1, 2, 1.0, 3.0)]) \
+        .drop("event_id").withColumnRenamed("value", "px")
+    with pytest.raises(ValueError, match="lacks columns"):
+        asof_join(left, right, value_cols=["nope"])
+    with pytest.raises(ValueError, match="tolerance_seconds"):
+        asof_join(left, right, value_cols=["px"], tolerance_seconds=0)
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(left.withColumn("asof_px", F.lit(1)), right,
+                  value_cols=["px"])
