@@ -1190,6 +1190,66 @@ LIMIT 20
 """
 
 
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means on quantized integer vectors: exact
+    BIGINT distances + exact floor-mean centroid updates, so one full
+    iteration (assign -> update -> re-assign) is bit-reproducible in
+    SQL. k=8, deterministic init = the 8 smallest vec_ids."""
+    from siren_spark.functions.clustering import kmeans_fit
+    _views(spark, sf_dir)
+    _, assigned = kmeans_fit(spark.table("embeddings"), k=8, iters=1)
+    return assigned
+
+
+# oracle floor division: DuckDB // truncates while the engine floors,
+# so subtract the positive remainder first (exact at any sign).
+_KMEANS_DUCK = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ev
+  FROM embeddings),
+c0 AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS j, ev AS cv
+  FROM e ORDER BY vec_id LIMIT 8),
+d1 AS (
+  SELECT e.vec_id, e.ev, c0.j,
+         CAST(list_sum(list_transform(list_zip(e.ev, c0.cv),
+              p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+  FROM e CROSS JOIN c0),
+a1 AS (
+  SELECT vec_id, ev, j, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+  FROM d1),
+x AS (
+  SELECT a1.j, u.i AS dim, a1.ev[u.i] AS val
+  FROM a1 CROSS JOIN unnest(range(1, 65)) AS u(i)
+  WHERE rn = 1),
+m AS (
+  SELECT j, dim,
+         (SUM(val) - ((SUM(val) % COUNT(*)) + COUNT(*)) % COUNT(*))
+           // COUNT(*) AS v
+  FROM x GROUP BY j, dim),
+c1 AS (SELECT j, list(CAST(v AS BIGINT) ORDER BY dim) AS cv
+       FROM m GROUP BY j),
+cf AS (SELECT c0.j, COALESCE(c1.cv, c0.cv) AS cv
+       FROM c0 LEFT JOIN c1 USING (j)),
+d2_ AS (
+  SELECT e.vec_id, cf.j,
+         CAST(list_sum(list_transform(list_zip(e.ev, cf.cv),
+              p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+  FROM e CROSS JOIN cf),
+a2 AS (
+  SELECT vec_id, j, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+  FROM d2_)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(j AS INTEGER) AS cluster,
+       d2 AS dist2
+FROM a2 WHERE rn = 1
+"""
+
+
 def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: for every non-purchase event, the user's
     most recent purchase at or before it (union-sort-carry as-of join,
@@ -1608,6 +1668,7 @@ _REGISTRY: dict[str, tuple] = {
     "warc_random_access": (_q_warc_random_access, _WARC_RA_DUCK),
     "events_tumbling_rollup": (_q_tumbling, _TUMBLING_DUCK),
     "asof_join_backward": (_q_asof, _ASOF_DUCK),
+    "kmeans_lloyd": (_q_kmeans, _KMEANS_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

@@ -502,3 +502,78 @@ def test_normalize_validates_form(spark):
     d = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         with_normalized_text(d, form="NFX")
+
+
+# ------------------------------------------------------------------ kmeans
+
+def _blobs(spark, n_per=40, d=8, centers=((0.0,), (10.0,), (-10.0,))):
+    """Well-separated 1-offset blobs in d dims, deterministic jitter."""
+    rows = []
+    vid = 0
+    for ci, (off,) in enumerate(centers):
+        for i in range(n_per):
+            vec = [off + ((vid * 7 + j * 3) % 5) * 0.01
+                   for j in range(d)]
+            rows.append((vid, vec, ci))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, truth int")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    from siren_spark.functions.clustering import kmeans_fit
+    d = _blobs(spark)
+    cents, assigned = kmeans_fit(d, k=3, iters=4)
+    rows = assigned.join(d.select("vec_id", "truth"), "vec_id").collect()
+    # cluster labels must be a bijection of truth labels
+    mapping = {}
+    for r in rows:
+        mapping.setdefault(r.truth, set()).add(r.cluster)
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
+    # converged centroids sit at the blob offsets (quantized x1000)
+    firsts = sorted(c[0] for c in cents)
+    assert firsts[0] < -9000 and abs(firsts[1]) < 1000 \
+        and firsts[2] > 9000
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    from siren_spark.functions.clustering import kmeans_fit
+    d = _blobs(spark)
+    c1, a1 = kmeans_fit(d, k=3, iters=2)
+    c2, a2 = kmeans_fit(d.repartition(13), k=3, iters=2)
+    assert c1 == c2
+    assert sorted(map(tuple, a1.collect())) == sorted(
+        map(tuple, a2.collect()))
+
+
+def test_kmeans_assign_tiebreak_and_validation(spark):
+    import pytest
+    from siren_spark.functions.clustering import kmeans_assign, kmeans_fit
+    d = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    # two identical centroids: tie goes to the lower cluster id
+    out = kmeans_assign(d, [[5, 5], [5, 5]]).first()
+    assert out.cluster == 0 and out.dist2 == 50
+    with pytest.raises(ValueError):
+        kmeans_assign(d, [])
+    with pytest.raises(ValueError):
+        kmeans_assign(d, [[1, 2], [1]])
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        kmeans_fit(d, k=5)
+
+
+def test_kmeans_iter0_is_seed_assignment(spark):
+    """iters=0 assigns straight to the deterministic seeds."""
+    from siren_spark.functions.clustering import kmeans_fit
+    d = _blobs(spark, n_per=5)
+    cents, assigned = kmeans_fit(d, k=3, iters=0)
+    seeds = {r.vec_id: list(r.ev) for r in d.orderBy("vec_id").limit(3)
+             .selectExpr("vec_id",
+                         "transform(embedding, x -> CAST(FLOOR("
+                         "CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ev")
+             .collect()}
+    assert cents == [seeds[0], seeds[1], seeds[2]]
+    # the seed vectors themselves sit at distance 0
+    zero = {r.vec_id for r in assigned.filter("dist2 = 0").collect()}
+    assert {0, 1, 2} <= zero
