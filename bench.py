@@ -117,6 +117,10 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "text_quality_score",
+    "asof_join_backward",
+    "sessionize_gap",
+    "kmeans_lloyd",
+    "tfidf_topk_terms",
 ]
 
 
@@ -523,7 +527,7 @@ def main() -> None:
         return round((b / a) / (hi / lo), 3)
 
     out = {
-        "metric": "headline suite seconds (8 queries at sf) + crawl scaling",
+        "metric": "headline suite seconds (12 queries at sf) + crawl scaling",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
