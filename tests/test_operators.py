@@ -381,3 +381,42 @@ def test_asof_join_validates(spark):
     with pytest.raises(ValueError, match="already exist"):
         asof_join(left.withColumn("asof_px", F.lit(1)), right,
                   value_cols=["px"])
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Differential: 600 random left rows x 120 right rows across 12
+    keys (duplicate left timestamps, keys missing on either side) must
+    match pandas.merge_asof(direction='backward') exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from siren_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(42)
+    lp = pd.DataFrame({
+        "user_id": rng.randint(0, 12, 600).astype("int64"),
+        "event_id": np.arange(600, dtype="int64"),
+        "ts": pd.to_datetime(rng.randint(0, 10 ** 6, 600), unit="s"),
+    })
+    # duplicate some left timestamps within a key
+    lp.loc[1, ["user_id", "ts"]] = lp.loc[0, ["user_id", "ts"]]
+    rp = pd.DataFrame({
+        "user_id": rng.randint(2, 14, 120).astype("int64"),
+        "ts": pd.to_datetime(rng.randint(0, 10 ** 6, 120), unit="s"),
+        "px": rng.randint(1, 1000, 120).astype("int64"),
+    }).drop_duplicates(["user_id", "ts"])
+
+    exp = pd.merge_asof(
+        lp.sort_values("ts", kind="stable"), rp.sort_values("ts"),
+        on="ts", by="user_id", direction="backward")
+    expected = {int(r.event_id): (None if pd.isna(r.px) else int(r.px))
+                for r in exp.itertuples()}
+
+    left = spark.createDataFrame(lp).select(
+        "user_id", "event_id", F.col("ts").cast("timestamp_ntz")
+        .alias("ts"))
+    right = spark.createDataFrame(rp).select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "px")
+    got = {r.event_id: r.asof_px
+           for r in asof_join(left, right, value_cols=["px"]).collect()}
+    assert got == expected and len(got) == 600
