@@ -1373,6 +1373,38 @@ FROM s GROUP BY user_id, seq
 """
 
 
+_CHUNK_T, _CHUNK_OV = 40, 8
+
+
+def _q_chunk(docs):
+    from siren_spark.functions.curation import chunk_documents
+    return chunk_documents(docs, chunk_tokens=_CHUNK_T,
+                           overlap=_CHUNK_OV)
+
+
+_CHUNK_DUCK = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(text) > 0),
+c AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, greatest((n - {_CHUNK_OV} + {_CHUNK_T - _CHUNK_OV}
+                                   - 1) // {_CHUNK_T - _CHUNK_OV}, 1)))
+           AS chunk_idx
+  FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(
+         t[chunk_idx * {_CHUNK_T - _CHUNK_OV} + 1 :
+           chunk_idx * {_CHUNK_T - _CHUNK_OV}
+             + least({_CHUNK_T}, n - chunk_idx * {_CHUNK_T - _CHUNK_OV})],
+         ' ') AS chunk_text,
+       CAST(least({_CHUNK_T}, n - chunk_idx * {_CHUNK_T - _CHUNK_OV})
+            AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
 _CLF_BIAS_MILLI = 100
 
 
@@ -1669,6 +1701,7 @@ _REGISTRY: dict[str, tuple] = {
     "events_tumbling_rollup": (_q_tumbling, _TUMBLING_DUCK),
     "asof_join_backward": (_q_asof, _ASOF_DUCK),
     "kmeans_lloyd": (_q_kmeans, _KMEANS_DUCK),
+    "chunk_documents": (_docs_q(_q_chunk), _CHUNK_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

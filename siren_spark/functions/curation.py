@@ -418,3 +418,58 @@ def score_linear_classifier(
     return (scored.select(F.col("__doc").alias(id_col),
                           logit.alias(out_col))
             .withColumn("label", F.col(out_col) >= 0))
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    sequence-preparation step between curation and tokenization
+    (context-length chunking with overlap, the HF ``return_overflowing_
+    tokens`` shape). Whitespace tokens; windows start every
+    ``chunk_tokens - overlap`` tokens; the final window is the
+    remainder (never an extra window that only repeats overlap).
+
+    Returns (id, chunk_idx 0-based, chunk_text, n_tokens). All window
+    arithmetic is integer (count = ceil((n - overlap) / stride) via
+    integer division), so the result is exact under any partitioning
+    and mirrored verbatim by the SQL oracle.
+
+    Plan shape: flat map — split, one explode over the per-doc window
+    index sequence (bounded by n/stride), slice + join per window. No
+    shuffle; output rows ≈ input tokens / stride regardless of doc
+    length skew, and no task ever holds more than one document's
+    tokens.
+    """
+    if chunk_tokens < 2:
+        raise ValueError(f"chunk_tokens must be >= 2, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.floor((n - F.lit(overlap) + F.lit(stride) - 1)
+                       / F.lit(stride)).cast("long")
+    n_chunks = F.greatest(n_chunks, F.lit(1).cast("long"))
+    base = (df.filter(F.length(text_col) > 0)
+            .select(F.col(id_col), toks.alias("__toks"),
+                    n.alias("__n"),
+                    F.explode(F.sequence(F.lit(0).cast("long"),
+                                         n_chunks - 1))
+                    .alias("chunk_idx")))
+    start = F.col("chunk_idx") * stride
+    length = F.least(F.lit(chunk_tokens).cast("long"),
+                     F.col("__n") - start)
+    piece = F.slice("__toks", (start + 1).cast("int"),
+                    length.cast("int"))
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"))

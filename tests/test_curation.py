@@ -337,3 +337,69 @@ def test_classifier_broadcast_vs_shuffle_join(spark, docs):
     b = score_linear_classifier(docs, w, broadcast_weights=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple,
                                                          b.collect()))
+
+
+# ---------------------------------------------------------------- chunking
+
+def test_chunk_documents_hand_values(spark):
+    """10 tokens, chunk 4, overlap 1 (stride 3): ceil((10-1)/3) = 3
+    windows at 0/3/6 cover every token — and no phantom tail window
+    whose tokens are all already covered."""
+    from siren_spark.functions.curation import chunk_documents
+    d = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], ["doc_id", "text"])
+    rows = sorted((r.chunk_idx, r.chunk_text, r.n_tokens)
+                  for r in chunk_documents(d, chunk_tokens=4,
+                                           overlap=1).collect())
+    assert rows == [(0, "t0 t1 t2 t3", 4), (1, "t3 t4 t5 t6", 4),
+                    (2, "t6 t7 t8 t9", 4)]
+    # 11 tokens -> a genuine remainder window appears
+    d2 = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11)))], ["doc_id", "text"])
+    rows2 = sorted((r.chunk_idx, r.n_tokens)
+                   for r in chunk_documents(d2, chunk_tokens=4,
+                                            overlap=1).collect())
+    assert rows2 == [(0, 4), (1, 4), (2, 4), (3, 2)]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from siren_spark.functions.curation import chunk_documents
+    d = spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"])
+    rows = chunk_documents(d, chunk_tokens=128, overlap=16).collect()
+    assert len(rows) == 1  # empty doc dropped, short doc = one chunk
+    assert (rows[0].chunk_idx, rows[0].chunk_text,
+            rows[0].n_tokens) == (0, "a b", 2)
+
+
+def test_chunk_documents_exact_multiple_no_phantom_tail(spark):
+    """n == chunk_tokens: exactly one window, no tail that would only
+    repeat overlap."""
+    from siren_spark.functions.curation import chunk_documents
+    d = spark.createDataFrame([(1, " ".join("x" * 1 for _ in range(8)))],
+                              ["doc_id", "text"])
+    rows = chunk_documents(d, chunk_tokens=8, overlap=2).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == 8
+
+
+def test_chunk_documents_coverage_and_validation(spark, docs):
+    """Every token position is covered by >= 1 chunk; chunk sizes never
+    exceed chunk_tokens; params validate."""
+    import pytest
+    from pyspark.sql import functions as F
+    from siren_spark.functions.curation import chunk_documents
+    out = chunk_documents(docs, chunk_tokens=5, overlap=2)
+    assert out.filter(F.col("n_tokens") > 5).count() == 0
+    # coverage: sum of (n_tokens - overlap) + overlap >= doc tokens
+    per_doc = (out.groupBy("doc_id")
+               .agg(F.sum("n_tokens").alias("s"),
+                    F.count("*").alias("k")))
+    joined = (docs.select("doc_id",
+                          F.size(F.split("text", " ")).alias("n"))
+              .join(per_doc, "doc_id"))
+    bad = joined.filter(
+        F.col("s") - (F.col("k") - 1) * 2 != F.col("n")).count()
+    assert bad == 0
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=1)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
