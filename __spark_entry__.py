@@ -1373,6 +1373,58 @@ FROM s GROUP BY user_id, seq
 """
 
 
+def _q_lm_nll(docs):
+    """CCNet-style quality bucketing: train a char-trigram LM on the
+    doc_id%5==0 reference slice (integer milli-nat log-probs), score
+    every doc's exact NLL, bucket into terciles."""
+    from siren_spark.functions.lm import (score_char_trigram_nll,
+                                          train_char_trigram_lm)
+    from pyspark.sql import functions as F
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    weights, oov = train_char_trigram_lm(ref)
+    out = score_char_trigram_nll(docs, weights, oov, buckets=3)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_grams", "nll_milli", "nll_per_gram",
+                      F.col("bucket").cast("int").alias("bucket"))
+
+
+_LM_NLL_DUCK = """
+WITH refg AS (
+  SELECT substr(text, i, 3) AS gram
+  FROM documents
+  CROSS JOIN unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i)
+  WHERE doc_id % 5 = 0 AND length(text) >= 3),
+cnt AS (SELECT gram, COUNT(*) AS c FROM refg GROUP BY gram),
+tv AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM cnt),
+w AS (SELECT gram,
+             CAST(FLOOR(1000.0 * LN(CAST(c + 1 AS DOUBLE)
+                                    / (total + v))) AS BIGINT)
+               AS logp_milli
+      FROM cnt CROSS JOIN tv),
+oov AS (SELECT CAST(FLOOR(1000.0 * LN(1.0 / (total + v))) AS BIGINT)
+               AS lp FROM tv),
+dg AS (
+  SELECT doc_id, substr(text, i, 3) AS gram
+  FROM documents
+  CROSS JOIN unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i)
+  WHERE length(text) >= 3),
+sc AS (
+  SELECT doc_id,
+         -SUM(COALESCE(w.logp_milli, oov.lp)) AS nll_milli,
+         COUNT(*) AS n_grams
+  FROM dg LEFT JOIN w USING (gram) CROSS JOIN oov
+  GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(nll_milli AS BIGINT) AS nll_milli,
+       ROUND(CAST(nll_milli AS DOUBLE) / n_grams, 4) AS nll_per_gram,
+       CAST(ntile(3) OVER (
+             ORDER BY ROUND(CAST(nll_milli AS DOUBLE) / n_grams, 4),
+                      doc_id) AS INTEGER) AS bucket
+FROM sc
+"""
+
+
 _CHUNK_T, _CHUNK_OV = 40, 8
 
 
@@ -1702,6 +1754,7 @@ _REGISTRY: dict[str, tuple] = {
     "asof_join_backward": (_q_asof, _ASOF_DUCK),
     "kmeans_lloyd": (_q_kmeans, _KMEANS_DUCK),
     "chunk_documents": (_docs_q(_q_chunk), _CHUNK_DUCK),
+    "lm_nll_buckets": (_docs_q(_q_lm_nll), _LM_NLL_DUCK),
     "sample_quota_per_group": (_docs_q(_q_sample_quota),
                                _SAMPLE_QUOTA_DUCK),
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),

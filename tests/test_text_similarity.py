@@ -577,3 +577,70 @@ def test_kmeans_iter0_is_seed_assignment(spark):
     # the seed vectors themselves sit at distance 0
     zero = {r.vec_id for r in assigned.filter("dist2 = 0").collect()}
     assert {0, 1, 2} <= zero
+
+
+# ------------------------------------------------------------ trigram LM
+
+def test_lm_train_hand_values(spark):
+    """'abcd' reference: trigrams abc, bcd (total=2, V=2);
+    logp_milli = floor(1000 ln((1+1)/4)) = -694; OOV = floor(1000
+    ln(1/4)) = -1387."""
+    from siren_spark.functions.lm import train_char_trigram_lm
+    ref = spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+    w, oov = train_char_trigram_lm(ref)
+    got = {r.gram: r.logp_milli for r in w.collect()}
+    assert got == {"abc": -694, "bcd": -694}
+    assert oov == -1387
+
+
+def test_lm_score_exact_and_oov(spark):
+    from siren_spark.functions.lm import (score_char_trigram_nll,
+                                          train_char_trigram_lm)
+    ref = spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+    w, oov = train_char_trigram_lm(ref)
+    d = spark.createDataFrame(
+        [(1, "abcd"),      # 2 in-vocab grams -> nll 1388
+         (2, "zzzz"),      # 2 OOV grams      -> nll 2774
+         (3, "ab")],       # too short: excluded
+        ["doc_id", "text"])
+    out = {r.doc_id: (r.n_grams, r.nll_milli, r.bucket)
+           for r in score_char_trigram_nll(d, w, oov,
+                                           buckets=2).collect()}
+    assert out[1] == (2, 1388, 1)   # fluent doc -> head bucket
+    assert out[2] == (2, 2774, 2)   # OOV soup  -> tail bucket
+    assert 3 not in out
+
+
+def test_lm_buckets_deterministic_and_join_modes(spark, docs):
+    from pyspark.sql import functions as F
+    from siren_spark.functions.lm import (score_char_trigram_nll,
+                                          train_char_trigram_lm)
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    w, oov = train_char_trigram_lm(ref)
+    a = sorted(map(tuple,
+                   score_char_trigram_nll(docs, w, oov).collect()))
+    b = sorted(map(tuple,
+                   score_char_trigram_nll(
+                       docs.repartition(11), w, oov,
+                       broadcast_weights=False).collect()))
+    assert a == b and len(a) == docs.filter("length(text) >= 3").count()
+    # reference docs score better (lower tercile mean) than the rest
+    sc = score_char_trigram_nll(docs, w, oov)
+    ref_mean = sc.filter(F.col("doc_id") % 3 == 0) \
+        .agg(F.avg("nll_per_gram")).first()[0]
+    other_mean = sc.filter(F.col("doc_id") % 3 != 0) \
+        .agg(F.avg("nll_per_gram")).first()[0]
+    assert ref_mean <= other_mean
+
+
+def test_lm_validates(spark):
+    import pytest
+    from siren_spark.functions.lm import (score_char_trigram_nll,
+                                          train_char_trigram_lm)
+    short = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="no trigrams"):
+        train_char_trigram_lm(short)
+    ok = spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+    w, oov = train_char_trigram_lm(ok)
+    with pytest.raises(ValueError, match="buckets"):
+        score_char_trigram_nll(ok, w, oov, buckets=0)
