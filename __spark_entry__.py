@@ -1696,6 +1696,147 @@ WHERE NOT (host = 'sample.net' OR host LIKE '%.sample.net'
 """
 
 
+def _q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein pair verification (similarity.edit_distance_verify)
+    over deterministic adjacent-id candidate pairs."""
+    from siren_spark.functions.similarity import edit_distance_verify
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = spark.sql("""
+        SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+               CAST(b.doc_id AS BIGINT) AS doc_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 3 = 0
+    """)
+    return edit_distance_verify(docs, pairs, prefix_chars=200)
+
+
+_EDIT_VERIFY_DUCK = """
+WITH p AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+         CAST(b.doc_id AS BIGINT) AS doc_b,
+         substr(a.text, 1, 200) AS pa,
+         substr(b.text, 1, 200) AS pb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 3 = 0)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(pa, pb) AS BIGINT) AS lev,
+       CAST(greatest(length(pa), length(pb)) AS BIGINT) AS max_len,
+       CAST(CASE WHEN greatest(length(pa), length(pb)) = 0 THEN 1000
+            ELSE (1000 * (greatest(length(pa), length(pb))
+                          - levenshtein(pa, pb)))
+                 // greatest(length(pa), length(pb)) END AS BIGINT)
+         AS sim_milli
+FROM p
+"""
+
+
+def _q_inverted_index(docs):
+    from siren_spark.functions.curation import inverted_index
+    return inverted_index(docs, min_df=2, max_df=400)
+
+
+_INVIDX_DUCK = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+d AS (SELECT DISTINCT doc_id, term FROM t WHERE term <> '')
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(CAST(doc_id AS BIGINT))), ',')
+         AS postings
+FROM d GROUP BY term
+HAVING COUNT(*) >= 2 AND COUNT(*) <= 400
+"""
+
+
+def _q_length_quantiles(docs):
+    from siren_spark.functions.curation import length_quantiles
+    return length_quantiles(docs, group_col="lang")
+
+
+_LENQ_DUCK = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n, 0.25), 4) AS p25_tokens,
+       ROUND(quantile_cont(n, 0.5), 4) AS p50_tokens,
+       ROUND(quantile_cont(n, 0.75), 4) AS p75_tokens
+FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+      FROM documents WHERE length(text) > 0)
+GROUP BY lang
+"""
+
+
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match robots gate over a synthetic host family —
+    runs the PRODUCTION scale path (operators/robots.py
+    robots_annotate_cogroup: no broadcast, rules cogrouped to the
+    frontier's domain partitions). Rule patterns here are prefix-only
+    with unique lengths per host, so the longest-match winner is
+    SQL-expressible without wildcard or tie semantics."""
+    from pyspark.sql import functions as F
+    from siren_spark.operators.robots import robots_annotate_cogroup
+    _views(spark, sf_dir)
+    frontier = spark.sql("""
+        SELECT CAST(o_orderkey AS BIGINT) AS okey,
+               concat('h', CAST(o_custkey % 4 AS STRING),
+                      '.example.com') AS domain,
+               concat('https://h', CAST(o_custkey % 4 AS STRING),
+                      '.example.com',
+                      CASE CAST(o_orderkey % 5 AS INT)
+                        WHEN 0 THEN concat('/private/p',
+                                           CAST(o_orderkey AS STRING))
+                        WHEN 1 THEN concat('/private/keep/p',
+                                           CAST(o_orderkey AS STRING))
+                        WHEN 2 THEN concat('/tmp/p',
+                                           CAST(o_orderkey AS STRING))
+                        WHEN 3 THEN concat('/public/p',
+                                           CAST(o_orderkey AS STRING))
+                        ELSE concat('/x', CAST(o_orderkey AS STRING))
+                      END) AS url_canon
+        FROM orders WHERE o_orderkey % 3 = 0
+    """)
+    robots = spark.createDataFrame(
+        [("h0.example.com",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/keep/\n"
+          "Disallow: /tmp\n"),
+         ("h1.example.com",
+          "User-agent: *\nDisallow: /\nAllow: /public/\n"),
+         ("h2.example.com",
+          "User-agent: otherbot\nDisallow: /\n")],  # no '*' group: allowed
+        ["domain", "rules"])
+    out = robots_annotate_cogroup(frontier, robots)
+    return out.select("okey", "domain",
+                      F.col("__allowed").alias("allowed"))
+
+
+_ROBOTS_DUCK = """
+WITH f AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS okey,
+         'h' || CAST(o_custkey % 4 AS VARCHAR) || '.example.com' AS domain,
+         CASE CAST(o_orderkey % 5 AS INT)
+           WHEN 0 THEN '/private/p' || CAST(o_orderkey AS VARCHAR)
+           WHEN 1 THEN '/private/keep/p' || CAST(o_orderkey AS VARCHAR)
+           WHEN 2 THEN '/tmp/p' || CAST(o_orderkey AS VARCHAR)
+           WHEN 3 THEN '/public/p' || CAST(o_orderkey AS VARCHAR)
+           ELSE '/x' || CAST(o_orderkey AS VARCHAR)
+         END AS path
+  FROM orders WHERE o_orderkey % 3 = 0),
+rules(domain, allow, pat) AS (VALUES
+  ('h0.example.com', FALSE, '/private/'),
+  ('h0.example.com', TRUE,  '/private/keep/'),
+  ('h0.example.com', FALSE, '/tmp'),
+  ('h1.example.com', FALSE, '/'),
+  ('h1.example.com', TRUE,  '/public/')),
+m AS (
+  SELECT f.okey, r.allow,
+         ROW_NUMBER() OVER (PARTITION BY f.okey
+                            ORDER BY length(r.pat) DESC) AS rk
+  FROM f JOIN rules r ON f.domain = r.domain
+                     AND starts_with(f.path, r.pat))
+SELECT f.okey, f.domain,
+       COALESCE(m.allow, TRUE) AS allowed
+FROM f LEFT JOIN (SELECT okey, allow FROM m WHERE rk = 1) m USING (okey)
+"""
+
+
 _REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": _q(_Q1_SPARK, _Q1_DUCK),
     "p1_date_window_filter": _q(_P1),
@@ -1760,6 +1901,10 @@ _REGISTRY: dict[str, tuple] = {
     "decontaminate_ngram": (_docs_q(_q_decontaminate), _DECONTAM_DUCK),
     "domain_quality_rollup": (_docs_q(_q_quality_rollup), _ROLLUP_DUCK),
     "filter_domain_blocklist": (_q_blocklist, _BLOCKLIST_DUCK),
+    "edit_distance_verify": (_q_edit_verify, _EDIT_VERIFY_DUCK),
+    "inverted_index": (_docs_q(_q_inverted_index), _INVIDX_DUCK),
+    "length_quantiles": (_docs_q(_q_length_quantiles), _LENQ_DUCK),
+    "robots_gate_prefix": (_q_robots_gate, _ROBOTS_DUCK),
 }
 
 

@@ -473,3 +473,72 @@ def chunk_documents(
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"))
+
+
+def inverted_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Build a term -> postings-list inverted index over the corpus.
+
+    The retrieval-side primitive a training-data pipeline needs for
+    corpus search / example lookup (and the exact structure behind
+    decontamination-by-lookup): one row per term with its document
+    frequency and the sorted posting list. ``min_df`` drops hapax noise,
+    ``max_df`` drops stopword-grade terms whose posting lists are the
+    skew hazard at 100 TB (a term in every document is a posting list
+    the size of the corpus — cap it, the term carries no signal).
+
+    Postings are emitted as a comma-joined string of sorted doc ids so
+    the output is flat, totally ordered, and hashable cross-engine.
+
+    Scale: explode(distinct tokens) is a flat map; the single shuffle
+    groups by term with partial aggregation on count; collect_list is
+    bounded by max_df when set.
+    """
+    toks = (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.explode(
+                          F.array_distinct(F.split(F.col(text_col), " ")))
+                      .alias("term"))
+            .where(F.col("term") != ""))
+    out = (toks.groupBy("term")
+           .agg(F.count("*").cast("long").alias("df"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("doc_id")),
+                                lambda x: x.cast("string")), ",")
+                .alias("postings"))
+           .where(F.col("df") >= min_df))
+    if max_df is not None:
+        out = out.where(F.col("df") <= max_df)
+    return out
+
+
+def length_quantiles(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact per-group token-length quartiles (p25/p50/p75) + count.
+
+    The distribution view length-filter thresholds are tuned against
+    (the Gopher length rules are percentile cuts). Exact `percentile`,
+    not approx_percentile: the driver's value-hash gate needs
+    determinism, and the quartile fractions are binary-exact so the
+    p*(n-1) interpolation index is the same IEEE double in any engine.
+    At 100 TB swap in approx_percentile(..., accuracy) — same plan
+    shape, one combiner-friendly groupBy either way.
+    """
+    pct = F.expr(
+        f"percentile(CAST(size(split({text_col}, ' ')) AS DOUBLE), "
+        "array(0.25D, 0.5D, 0.75D))")
+    return (df.where(F.length(text_col) > 0)
+            .groupBy(group_col)
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.round(F.element_at(pct, 1), 4).alias("p25_tokens"),
+                 F.round(F.element_at(pct, 2), 4).alias("p50_tokens"),
+                 F.round(F.element_at(pct, 3), 4).alias("p75_tokens")))

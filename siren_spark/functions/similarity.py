@@ -215,6 +215,53 @@ def jaccard_verify(
     return out
 
 
+def edit_distance_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    prefix_chars: int = 256,
+    min_sim_milli: int | None = None,
+) -> DataFrame:
+    """Exact Levenshtein verification for candidate (doc_a, doc_b) pairs.
+
+    The character-level sibling of ``jaccard_verify``: after LSH/SimHash
+    blocking proposes candidates, confirm with edit distance over a
+    bounded document prefix (``prefix_chars`` caps the O(n*m) DP cost —
+    full-document Levenshtein at web scale is quadratic in a 100 KB
+    page, the prefix is the standard compromise). All math is JVM-side
+    (`F.levenshtein`, whole-stage codegen) — no Python on the hot path.
+
+    Outputs per pair: ``lev`` (distance), ``max_len`` (longer prefix),
+    and ``sim_milli`` = floor(1000 * (max_len - lev) / max_len), an
+    integer similarity in [0, 1000] that is bit-exact across engines
+    (pure integer division — no float accumulation). Two empty prefixes
+    are identical (sim 1000). ``min_sim_milli`` filters confirmed pairs.
+
+    Scale: two hash joins on doc id (never all-pairs), then a flat map.
+    """
+    sides = df.select(
+        F.col(id_col).alias("__id"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("__t"))
+    ta = sides.select(F.col("__id").alias("doc_a"), F.col("__t").alias("__pa"))
+    tb = sides.select(F.col("__id").alias("doc_b"), F.col("__t").alias("__pb"))
+    lev = F.levenshtein("__pa", "__pb").cast("long")
+    max_len = F.greatest(F.length("__pa"), F.length("__pb")).cast("long")
+    out = (pairs.join(ta, "doc_a").join(tb, "doc_b")
+           .select(
+               F.col("doc_a").cast("long").alias("doc_a"),
+               F.col("doc_b").cast("long").alias("doc_b"),
+               lev.alias("lev"),
+               max_len.alias("max_len"),
+               F.when(max_len == 0, F.lit(1000).cast("long"))
+                .otherwise(F.floor((F.lit(1000) * (max_len - lev)) / max_len))
+                .alias("sim_milli")))
+    if min_sim_milli is not None:
+        out = out.where(F.col("sim_milli") >= min_sim_milli)
+    return out
+
+
 def duplicate_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -739,7 +786,8 @@ def dedup_components(
 
 
 __all__ = ["minhash_signatures", "minhash_band_keys", "minhash_lsh_pairs",
-           "jaccard_verify", "simhash16", "simhash64", "simhash_near_dups",
+           "jaccard_verify", "edit_distance_verify",
+           "simhash16", "simhash64", "simhash_near_dups",
            "quantize_embedding", "embedding_lsh_buckets",
            "embedding_near_dups", "ann_lsh_topk", "ann_ivf_topk",
            "dedup_components"]

@@ -403,3 +403,69 @@ def test_chunk_documents_coverage_and_validation(spark, docs):
         chunk_documents(docs, chunk_tokens=1)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+# ---------------------------------------------------------- inverted index
+
+def test_inverted_index_postings_sorted_and_distinct(spark):
+    from siren_spark.functions.curation import inverted_index
+    docs = spark.createDataFrame(
+        [(5, "a b a"), (2, "b c"), (9, "b  c"), (1, "")],
+        ["doc_id", "text"])
+    out = {r.term: r for r in inverted_index(docs).collect()}
+    # duplicate token within a doc counts once; postings sorted asc
+    assert out["a"].df == 1 and out["a"].postings == "5"
+    assert out["b"].df == 3 and out["b"].postings == "2,5,9"
+    assert out["c"].df == 2 and out["c"].postings == "2,9"
+    # double-space yields an empty token — must be dropped, and the
+    # empty doc contributes nothing
+    assert "" not in out
+
+
+def test_inverted_index_df_bounds(spark):
+    from siren_spark.functions.curation import inverted_index
+    docs = spark.createDataFrame(
+        [(i, ("stop rare" if i == 0 else "stop")) for i in range(10)],
+        ["doc_id", "text"])
+    out = {r.term for r in
+           inverted_index(docs, min_df=2, max_df=9).collect()}
+    assert out == set()  # 'stop' df=10 > max, 'rare' df=1 < min
+    out2 = {r.term: r.df for r in
+            inverted_index(docs, min_df=1, max_df=10).collect()}
+    assert out2 == {"stop": 10, "rare": 1}
+
+
+def test_inverted_index_partition_independent(spark, docs):
+    from siren_spark.functions.curation import inverted_index
+    a = sorted(map(tuple, inverted_index(docs).collect()))
+    b = sorted(map(tuple, inverted_index(docs.repartition(13)).collect()))
+    assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------- length quantiles
+
+def test_length_quantiles_matches_numpy(spark):
+    import numpy as np
+    from siren_spark.functions.curation import length_quantiles
+    rows = [(i, "g" + str(i % 2),
+             " ".join("t" for _ in range(3 + (i * 5) % 17)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r.lang: r for r in length_quantiles(df).collect()}
+    for g in ("g0", "g1"):
+        lens = [3 + (i * 5) % 17 for i in range(40) if i % 2 == int(g[1])]
+        assert got[g].n_docs == len(lens)
+        p25, p50, p75 = np.percentile(lens, [25, 50, 75],
+                                      method="linear")
+        assert got[g].p25_tokens == round(float(p25), 4)
+        assert got[g].p50_tokens == round(float(p50), 4)
+        assert got[g].p75_tokens == round(float(p75), 4)
+
+
+def test_length_quantiles_excludes_empty_text(spark):
+    from siren_spark.functions.curation import length_quantiles
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", ""), (3, "en", "a b c d e")],
+        ["doc_id", "lang", "text"])
+    row = length_quantiles(df).collect()[0]
+    assert row.n_docs == 2 and row.p50_tokens == 4.0

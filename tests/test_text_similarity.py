@@ -644,3 +644,62 @@ def test_lm_validates(spark):
     w, oov = train_char_trigram_lm(ok)
     with pytest.raises(ValueError, match="buckets"):
         score_char_trigram_nll(ok, w, oov, buckets=0)
+
+
+# ------------------------------------------------------- edit-distance verify
+
+def _lev(a: str, b: str) -> int:
+    """Textbook DP Levenshtein — the independent oracle."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_verify_known_values(spark):
+    from siren_spark.functions.similarity import edit_distance_verify
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, ""), (4, ""), (5, "abc")],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (3, 5), (5, 5)], ["doc_a", "doc_b"])
+    out = {(r.doc_a, r.doc_b): r for r in
+           edit_distance_verify(docs, pairs).collect()}
+    assert out[(1, 2)].lev == 3 and out[(1, 2)].max_len == 7
+    assert out[(1, 2)].sim_milli == (1000 * (7 - 3)) // 7
+    assert out[(3, 4)].lev == 0 and out[(3, 4)].sim_milli == 1000
+    assert out[(3, 5)].lev == 3 and out[(3, 5)].sim_milli == 0
+    assert out[(5, 5)].lev == 0 and out[(5, 5)].sim_milli == 1000
+
+
+def test_edit_distance_verify_differential_and_prefix(spark):
+    """Spark levenshtein == textbook DP on the truncated prefixes, and
+    the prefix cap actually bounds what is compared."""
+    from siren_spark.functions.similarity import edit_distance_verify
+    texts = {i: " ".join(f"w{(i * 13 + j) % 11}" for j in range(30))
+             for i in range(20)}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, (i + 7) % 20) for i in range(20)], ["doc_a", "doc_b"])
+    rows = edit_distance_verify(docs, pairs, prefix_chars=24).collect()
+    assert len(rows) == 20
+    for r in rows:
+        pa, pb = texts[r.doc_a][:24], texts[r.doc_b][:24]
+        want = _lev(pa, pb)
+        assert r.lev == want, (r.doc_a, r.doc_b, r.lev, want)
+        assert r.max_len == max(len(pa), len(pb))
+
+
+def test_edit_distance_verify_threshold_filters(spark):
+    from siren_spark.functions.similarity import edit_distance_verify
+    docs = spark.createDataFrame(
+        [(1, "aaaa bbbb"), (2, "aaaa bbbc"), (3, "zzzz yyyy")],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    kept = edit_distance_verify(docs, pairs, min_sim_milli=800).collect()
+    assert [(r.doc_a, r.doc_b) for r in kept] == [(1, 2)]
