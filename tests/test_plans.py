@@ -259,3 +259,32 @@ def test_crawl_gate_is_self_checking(spark):
     assert len(row) == 1
     assert row[0].self_check_ok
     assert row[0].self_check_expected == row[0].self_check_actual
+
+
+def test_round5_ops_plan_shape(spark):
+    """inverted_index and length_quantiles each shuffle exactly once
+    (the promised single groupBy exchange); edit_distance_verify never
+    degrades to a cartesian/nested-loop join."""
+    from pyspark.sql import functions as F
+    from siren_spark.functions.curation import (inverted_index,
+                                                length_quantiles)
+    from siren_spark.functions.similarity import edit_distance_verify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    for name, df in (("inverted_index", inverted_index(docs)),
+                     ("length_quantiles", length_quantiles(docs))):
+        p = _plan(df)
+        # explain("formatted") splits the node name and its arguments:
+        # "(5) Exchange" / "Arguments: hashpartitioning(...)"
+        n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+        assert n_ex == 1, (name, n_ex, p)
+        assert "CartesianProduct" not in p, name
+
+    pairs = docs.select(F.col("doc_id").alias("doc_a"),
+                        (F.col("doc_id") + 1).alias("doc_b"))
+    p = _plan(edit_distance_verify(docs, pairs))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # the Levenshtein math stays in whole-stage codegen (no Python)
+    assert "levenshtein" in p and "PythonUDF" not in p, p
