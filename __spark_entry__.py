@@ -1837,6 +1837,90 @@ FROM f LEFT JOIN (SELECT okey, allow FROM m WHERE rk = 1) m USING (okey)
 """
 
 
+_MIX_BUDGET = 3000
+
+
+def _q_mix_budget(docs):
+    from siren_spark.functions.curation import mix_by_token_budget
+    return mix_by_token_budget(docs, budget_tokens=_MIX_BUDGET)
+
+
+_MIX_DUCK = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents WHERE length(text) > 0),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {_MIX_BUDGET}
+"""
+
+
+_SEARCH_TERMS = ("spark", "merge", "window", "vector")
+_SEARCH_K = 25
+
+
+def _q_search_topk(docs):
+    from siren_spark.functions.curation import search_topk
+    return search_topk(docs, list(_SEARCH_TERMS), k=_SEARCH_K)
+
+
+_SEARCH_DUCK = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0),
+n AS (SELECT COUNT(*) AS n_docs FROM corpus),
+tf AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus)
+  WHERE t IN {_SEARCH_TERMS!r}
+  GROUP BY doc_id, t),
+idf AS (
+  SELECT term,
+         CAST(FLOOR(1000.0 * LN(CAST(n_docs AS DOUBLE) / COUNT(*)))
+              AS BIGINT) AS idf_milli
+  FROM tf CROSS JOIN n GROUP BY term, n_docs)
+SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(tf.tf * idf.idf_milli) AS BIGINT) AS score_milli,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+FROM tf JOIN idf USING (term)
+GROUP BY tf.doc_id
+ORDER BY score_milli DESC, doc_id
+LIMIT {_SEARCH_K}
+"""
+
+
+def _q_length_outliers(docs):
+    from siren_spark.functions.curation import filter_length_outliers
+    return filter_length_outliers(docs, group_col="lang")
+
+
+_LEN_OUTLIER_DUCK = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE length(text) > 0),
+b AS (
+  SELECT lang,
+         quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS p25,
+         quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) AS p75
+  FROM d GROUP BY lang),
+f AS (
+  SELECT lang, p25 - 1.5 * (p75 - p25) AS lo,
+               p75 + 1.5 * (p75 - p25) AS hi
+  FROM b)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.n_tokens,
+       ROUND(f.lo, 4) AS lo, ROUND(f.hi, 4) AS hi
+FROM d JOIN f USING (lang)
+WHERE CAST(d.n_tokens AS DOUBLE) BETWEEN f.lo AND f.hi
+"""
+
+
 _REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": _q(_Q1_SPARK, _Q1_DUCK),
     "p1_date_window_filter": _q(_P1),
@@ -1905,6 +1989,10 @@ _REGISTRY: dict[str, tuple] = {
     "inverted_index": (_docs_q(_q_inverted_index), _INVIDX_DUCK),
     "length_quantiles": (_docs_q(_q_length_quantiles), _LENQ_DUCK),
     "robots_gate_prefix": (_q_robots_gate, _ROBOTS_DUCK),
+    "mix_token_budget": (_docs_q(_q_mix_budget), _MIX_DUCK),
+    "search_tfidf_topk": (_docs_q(_q_search_topk), _SEARCH_DUCK),
+    "filter_length_outliers": (_docs_q(_q_length_outliers),
+                               _LEN_OUTLIER_DUCK),
 }
 
 

@@ -25,7 +25,16 @@ per-doc stats (functions/text.py):
 - domain blocklist filtering (``filter_domain_blocklist``) — drop rows
   whose host matches a blocklist entry exactly OR by DNS suffix
   (blocking ``example.com`` drops ``news3.example.com``), the standard
-  URL-level filter in C4/RefinedWeb pipelines.
+  URL-level filter in C4/RefinedWeb pipelines;
+- token-budget mixing (``mix_by_token_budget``) — Pile/Dolma-style
+  mixture construction: fill each source's token budget greedily in
+  deterministic hash order, as a distributed prefix-sum (no per-source
+  single-task window);
+- corpus search (``search_topk``) — TF-IDF bag-of-words retrieval with
+  integer milli-nat idf, the query-time counterpart to
+  ``inverted_index``;
+- per-group length-outlier filtering (``filter_length_outliers``) —
+  Tukey-fence percentile cuts with binary-exact band edges.
 
 All determinism contracts match functions/text.py: integer outputs are
 BIGINT, floats are ROUND(...,4), orderings are total (hash, then key),
@@ -515,6 +524,163 @@ def inverted_index(
     if max_df is not None:
         out = out.where(F.col("df") <= max_df)
     return out
+
+
+def mix_by_token_budget(
+    df: DataFrame,
+    *,
+    budget_tokens: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    buckets: int = 256,
+) -> DataFrame:
+    """Greedy per-group token-budget fill — the data-mixing step.
+
+    Pile/Dolma-style mixture construction: each source gets a token
+    budget; docs are taken in a deterministic pseudo-random order
+    (md5 hash of the key, same contract as ``sample_hash``) until the
+    next doc would push the source's running token total past
+    ``budget_tokens``. Returns the kept rows as
+    (key, group, n_tokens, cum_tokens) where cum_tokens is the running
+    total *including* the row — reproducible at any parallelism.
+
+    Scale: a naive per-group window cumsum funnels each source through
+    ONE task (a hot source = the whole corpus through one sort). This
+    is a distributed prefix-sum instead: the order key is the 8-hex-char
+    doc hash, and the bucket is its leading hex pair — so (bucket asc,
+    hash asc) IS hash order. Phase 1 partial-aggregates per-(group,
+    bucket) token sums (tiny: |groups| x buckets rows); phase 2 windows
+    the running bucket offsets over that tiny frame; phase 3
+    broadcast-joins offsets back and windows only within (group,
+    bucket), so per-task window volume is ~1/buckets of the hottest
+    group. Exactly the salted-window trick the politeness scheduler
+    uses (operators/politeness.py:23), adapted to a running sum.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = (df.where(F.length(text_col) > 0)
+            .withColumn("__h", _hash8(F.col(key_col), salt))
+            .withColumn("__b", F.substring("__h", 1, 2))
+            .withColumn("n_tokens", n_tok))
+    per_bucket = (base.groupBy(group_col, "__b")
+                  .agg(F.sum("n_tokens").alias("__bsum")))
+    w_off = (Window.partitionBy(group_col).orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)))
+    w_local = (Window.partitionBy(group_col, "__b")
+               .orderBy(F.asc("__h"), F.asc(key_col))
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (base.join(F.broadcast(offsets.select(group_col, "__b", "__off")),
+                      [group_col, "__b"])
+            .withColumn("cum_tokens",
+                        (F.col("__off")
+                         + F.sum("n_tokens").over(w_local)).cast("long"))
+            .where(F.col("cum_tokens") <= budget_tokens)
+            .select(F.col(key_col), F.col(group_col), "n_tokens",
+                    "cum_tokens"))
+
+
+def search_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF corpus search: top-k docs for a bag-of-words query.
+
+    The retrieval counterpart to ``inverted_index`` — score(doc) =
+    sum over matched query terms of tf(term, doc) * idf_milli(term),
+    idf_milli = floor(1000 * ln(N / df)) (integer milli-nats, the same
+    cross-engine-exact log trick as functions/lm.py), so scores are
+    BIGINT and the (score desc, id asc) top-k is a total order.
+
+    Plan shape: the token explode is pre-filtered to the query terms
+    (a literal IN over a handful of strings — the scan output is only
+    matching postings, never the corpus tokens); tf is one (id, term)
+    groupBy; the per-term df/idf frame has at most len(query_terms)
+    rows and broadcasts back onto tf; N rides in as a broadcast 1-row
+    aggregate. The final top-k compiles to TakeOrderedAndProject
+    (per-partition heap, driver merge of k rows) — no global sort.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = [str(t) for t in query_terms]
+    corpus = df.where(F.length(text_col) > 0)
+    n_docs = corpus.agg(F.count("*").alias("__n"))
+    tf = (corpus
+          .select(F.col(id_col),
+                  F.explode(F.split(F.col(text_col), " ")).alias("__t"))
+          .where(F.col("__t").isin(terms))
+          .groupBy(id_col, "__t")
+          .agg(F.count("*").cast("long").alias("tf")))
+    idf = (tf.groupBy("__t")
+           .agg(F.count("*").cast("long").alias("df"))
+           .join(F.broadcast(n_docs))
+           .select("__t",
+                   F.floor(F.lit(1000.0)
+                           * F.log(F.col("__n").cast("double")
+                                   / F.col("df")))
+                   .cast("long").alias("idf_milli")))
+    return (tf.join(F.broadcast(idf), "__t")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("tf") * F.col("idf_milli"))
+                 .cast("long").alias("score_milli"),
+                 F.count("*").cast("long").alias("n_terms_matched"))
+            .orderBy(F.desc("score_milli"), F.asc(id_col))
+            .limit(k))
+
+
+def filter_length_outliers(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fence: float = 1.5,
+) -> DataFrame:
+    """Drop docs whose token length is a Tukey outlier within its group.
+
+    The percentile-cut flavor of the Gopher length rules: per group,
+    keep docs with n_tokens in [p25 - fence*IQR, p75 + fence*IQR].
+    Exact quartiles (see length_quantiles): the interpolation fractions
+    are binary-exact quarters over integer token counts and ``fence``
+    defaults to a binary-exact 1.5, so the band edges are the same IEEE
+    doubles in any engine — the integer-vs-edge comparisons that decide
+    keep/drop are deterministic, not ulp-lottery.
+
+    Scale: one combiner-friendly groupBy collapses the corpus to
+    |groups| quantile rows, which broadcast back onto the (unshuffled)
+    doc side as a filter — the docs themselves never shuffle.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = (df.where(F.length(text_col) > 0)
+            .withColumn("n_tokens", n_tok))
+    pct = F.expr("percentile(CAST(n_tokens AS DOUBLE), "
+                 "array(0.25D, 0.75D))")
+    bands = (base.groupBy(group_col)
+             .agg(F.element_at(pct, 1).alias("__p25"),
+                  F.element_at(pct, 2).alias("__p75"))
+             .select(group_col,
+                     (F.col("__p25")
+                      - F.lit(fence) * (F.col("__p75") - F.col("__p25")))
+                     .alias("lo"),
+                     (F.col("__p75")
+                      + F.lit(fence) * (F.col("__p75") - F.col("__p25")))
+                     .alias("hi")))
+    return (base.join(F.broadcast(bands), group_col)
+            .where(F.col("n_tokens").cast("double").between(
+                F.col("lo"), F.col("hi")))
+            .select(F.col(id_col), F.col(group_col), "n_tokens",
+                    F.round("lo", 4).alias("lo"),
+                    F.round("hi", 4).alias("hi")))
 
 
 def length_quantiles(

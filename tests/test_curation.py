@@ -469,3 +469,136 @@ def test_length_quantiles_excludes_empty_text(spark):
         ["doc_id", "lang", "text"])
     row = length_quantiles(df).collect()[0]
     assert row.n_docs == 2 and row.p50_tokens == 4.0
+
+
+# ------------------------------------------------- mix_by_token_budget
+
+def _mix_reference(rows, budget):
+    """Greedy per-source prefix in (md5-hash, key) order, in plain python."""
+    import hashlib
+    from collections import defaultdict
+    by_src = defaultdict(list)
+    for doc_id, source, text in rows:
+        if not text:
+            continue
+        h = hashlib.md5(f"|{doc_id}".encode()).hexdigest()[:8]
+        by_src[source].append((h, doc_id, len(text.split(" "))))
+    keep = {}
+    for source, docs_ in by_src.items():
+        cum = 0
+        for h, doc_id, n in sorted(docs_):
+            cum += n
+            if cum > budget:
+                break
+            keep[doc_id] = (source, n, cum)
+    return keep
+
+
+def test_mix_by_token_budget_matches_reference(spark):
+    from siren_spark.functions.curation import mix_by_token_budget
+    rows = [(i, f"s{i % 3}",
+             " ".join(f"w{j}" for j in range(1 + (i * 13) % 40)))
+            for i in range(300)] + [(999, "s0", "")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r.doc_id: (r.source, r.n_tokens, r.cum_tokens)
+           for r in mix_by_token_budget(df, budget_tokens=250).collect()}
+    assert got == _mix_reference(rows, 250)
+    assert got  # non-degenerate fixture
+
+
+def test_mix_by_token_budget_partition_independent(spark):
+    from siren_spark.functions.curation import mix_by_token_budget
+    rows = [(i, "hot" if i % 10 else f"s{i}",  # one skewed group
+             " ".join("x" for _ in range(1 + i % 7)))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    a = sorted(map(tuple, mix_by_token_budget(
+        df, budget_tokens=120).collect()))
+    b = sorted(map(tuple, mix_by_token_budget(
+        df.repartition(13), budget_tokens=120).collect()))
+    assert a == b == sorted(
+        (k, *v[0:1], v[1], v[2])
+        for k, v in _mix_reference(rows, 120).items())
+
+
+def test_mix_by_token_budget_edges(spark):
+    from siren_spark.functions.curation import mix_by_token_budget
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "a", "x")], ["doc_id", "source", "text"])
+    assert mix_by_token_budget(df, budget_tokens=0).count() == 0
+    full = mix_by_token_budget(df, budget_tokens=10_000).collect()
+    assert sorted(r.cum_tokens for r in full)[-1] == 3  # all kept
+    with pytest.raises(ValueError):
+        mix_by_token_budget(df, budget_tokens=-1)
+
+
+# -------------------------------------------------------- search_topk
+
+def test_search_topk_hand_values(spark):
+    import math
+    from siren_spark.functions.curation import search_topk
+    df = spark.createDataFrame(
+        [(1, "apple apple pear"),
+         (2, "apple banana"),
+         (3, "pear pear pear"),
+         (4, "kiwi")],
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.score_milli, r.n_terms_matched)
+           for r in search_topk(df, ["apple", "pear"], k=10).collect()}
+    idf_apple = math.floor(1000 * math.log(4 / 2))  # in docs 1,2
+    idf_pear = math.floor(1000 * math.log(4 / 2))   # in docs 1,3
+    assert got == {
+        1: (2 * idf_apple + 1 * idf_pear, 2),
+        2: (1 * idf_apple, 1),
+        3: (3 * idf_pear, 1),
+    }
+
+
+def test_search_topk_k_and_tiebreak(spark):
+    from siren_spark.functions.curation import search_topk
+    # all docs identical score -> top-k is the k smallest doc_ids
+    df = spark.createDataFrame(
+        [(i, "term filler") for i in range(20)], ["doc_id", "text"])
+    got = [r.doc_id for r in search_topk(df, ["term"], k=5).collect()]
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_search_topk_validates_and_plan(spark):
+    from siren_spark.functions.curation import search_topk
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        search_topk(df, [])
+    with pytest.raises(ValueError):
+        search_topk(df, ["a"], k=0)
+    plan = search_topk(df, ["a"], k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
+
+
+# ---------------------------------------------- filter_length_outliers
+
+def test_filter_length_outliers_matches_numpy_fence(spark):
+    import numpy as np
+    from siren_spark.functions.curation import filter_length_outliers
+    lens = [5, 6, 7, 8, 9, 10, 11, 12, 100]  # 100 is the outlier
+    rows = [(i, "en", " ".join("w" for _ in range(n)))
+            for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = filter_length_outliers(df).collect()
+    p25, p75 = np.percentile(lens, [25, 75], method="linear")
+    lo, hi = p25 - 1.5 * (p75 - p25), p75 + 1.5 * (p75 - p25)
+    assert sorted(r.doc_id for r in got) == [
+        i for i, n in enumerate(lens) if lo <= n <= hi]
+    assert all(r.lo == round(lo, 4) and r.hi == round(hi, 4) for r in got)
+    assert not any(r.doc_id == 8 for r in got)  # the outlier is dropped
+
+
+def test_filter_length_outliers_band_inclusive_and_broadcast(spark):
+    from siren_spark.functions.curation import filter_length_outliers
+    # constant lengths: IQR = 0, band collapses to a point -> all kept
+    df = spark.createDataFrame(
+        [(i, "en", "a b c") for i in range(8)], ["doc_id", "lang", "text"])
+    out = filter_length_outliers(df)
+    assert out.count() == 8
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # band frame broadcasts, docs don't shuffle

@@ -34,6 +34,8 @@ VOCAB = int(os.environ.get("SIREN_TXOPS_VOCAB", str(50_000)))
 REPS = int(os.environ.get("SIREN_TXOPS_REPS", "2"))
 TRIES = int(os.environ.get("SIREN_TXOPS_TRIES", "1"))
 PREFIX = int(os.environ.get("SIREN_TXOPS_PREFIX", "48"))
+# comma-separated op subset, e.g. "edit_distance_verify,length_quantiles"
+OPS = [o for o in os.environ.get("SIREN_TXOPS_OPS", "").split(",") if o]
 
 
 def _ensure_data() -> str:
@@ -96,6 +98,8 @@ def _phase(cores: str) -> None:
         "inverted_index": lambda: inverted_index(docs, min_df=2),
         "length_quantiles": lambda: length_quantiles(docs),
     }
+    if OPS:
+        ops = {k: v for k, v in ops.items() if k in OPS}
     out = {}
     for name, fn in ops.items():
         best = None
