@@ -1921,6 +1921,79 @@ WHERE CAST(d.n_tokens AS DOUBLE) BETWEEN f.lo AND f.hi
 """
 
 
+def _q_snapshot_diff(docs):
+    from pyspark.sql import functions as F
+
+    from siren_spark.functions.curation import snapshot_diff
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = (docs.where(F.col("doc_id") % 11 != 3)
+           .withColumn(
+               "text",
+               F.when(F.col("doc_id") % 5 == 0,
+                      F.concat(F.col("text"), F.lit(" v2")))
+               .otherwise(F.col("text"))))
+    return snapshot_diff(old, new)
+
+
+_SNAPSHOT_DUCK = """
+WITH o AS (SELECT doc_id, md5(text) AS old_md5
+           FROM documents WHERE doc_id % 7 <> 0),
+n AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                      ELSE text END) AS new_md5
+      FROM documents WHERE doc_id % 11 <> 3),
+d AS (
+  SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         o.old_md5, n.new_md5
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT * FROM d WHERE status <> 'unchanged'
+"""
+
+
+def _q_anchor_rollup(docs):
+    from pyspark.sql import functions as F
+
+    from siren_spark.functions.graph import (anchor_text_rollup,
+                                             synthetic_link_graph)
+    anchors = docs.select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+        .alias("anchor"))
+    edges = synthetic_link_graph(docs).join(anchors, "src")
+    return anchor_text_rollup(edges, k=3)
+
+
+_ANCHOR_DUCK = """
+WITH jj AS (SELECT UNNEST(ARRAY[1, 2, 3]) AS j),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT DISTINCT d.doc_id AS src,
+         (d.doc_id*d.doc_id + d.doc_id*31 + jj.j*17) % nn.n AS dst
+  FROM documents d, jj, nn
+  WHERE jj.j <= 1 + d.doc_id % 3
+    AND (d.doc_id*d.doc_id + d.doc_id*31 + jj.j*17) % nn.n <> d.doc_id),
+a AS (SELECT doc_id AS src,
+             array_to_string(string_split(text, ' ')[1:2], ' ') AS anchor
+      FROM documents),
+ea AS (SELECT e.dst, a.anchor FROM e JOIN a USING (src)),
+c AS (SELECT dst, anchor, COUNT(*) AS cnt FROM ea GROUP BY dst, anchor),
+rk AS (SELECT dst, anchor,
+              ROW_NUMBER() OVER (PARTITION BY dst
+                                 ORDER BY cnt DESC, anchor) AS rn
+       FROM c),
+top AS (SELECT dst, string_agg(anchor, '|' ORDER BY rn) AS top_anchors
+        FROM rk WHERE rn <= 3 GROUP BY dst),
+inl AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_inlinks
+        FROM ea GROUP BY dst)
+SELECT CAST(inl.dst AS BIGINT) AS dst, inl.n_inlinks, top.top_anchors
+FROM inl JOIN top USING (dst)
+"""
+
+
 _REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": _q(_Q1_SPARK, _Q1_DUCK),
     "p1_date_window_filter": _q(_P1),
@@ -1993,6 +2066,8 @@ _REGISTRY: dict[str, tuple] = {
     "search_tfidf_topk": (_docs_q(_q_search_topk), _SEARCH_DUCK),
     "filter_length_outliers": (_docs_q(_q_length_outliers),
                                _LEN_OUTLIER_DUCK),
+    "snapshot_diff": (_docs_q(_q_snapshot_diff), _SNAPSHOT_DUCK),
+    "anchor_text_rollup": (_docs_q(_q_anchor_rollup), _ANCHOR_DUCK),
 }
 
 

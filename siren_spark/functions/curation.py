@@ -34,7 +34,10 @@ per-doc stats (functions/text.py):
   integer milli-nat idf, the query-time counterpart to
   ``inverted_index``;
 - per-group length-outlier filtering (``filter_length_outliers``) —
-  Tukey-fence percentile cuts with binary-exact band edges.
+  Tukey-fence percentile cuts with binary-exact band edges;
+- snapshot content diff (``snapshot_diff``) — recrawl CDC: one row per
+  added/removed/changed key across two corpus snapshots, fingerprints
+  (not documents) on the shuffle.
 
 All determinism contracts match functions/text.py: integer outputs are
 BIGINT, floats are ROUND(...,4), orderings are total (hash, then key),
@@ -681,6 +684,43 @@ def filter_length_outliers(
             .select(F.col(id_col), F.col(group_col), "n_tokens",
                     F.round("lo", 4).alias("lo"),
                     F.round("hi", 4).alias("hi")))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff between two corpus snapshots (recrawl CDC).
+
+    The incremental-recrawl bookkeeping step: given the previous and
+    current snapshot of a corpus keyed by ``key_col``, emit one row per
+    key whose content changed — status ``added`` (new only),
+    ``removed`` (old only), or ``changed`` (both, md5(text) differs) —
+    with both fingerprints. Unchanged keys are dropped (at recrawl
+    scale they are ~all the corpus; emitting them would make the diff
+    as big as the input). Requires ``key_col`` unique per snapshot —
+    duplicate keys would fan out the join.
+
+    Scale: text collapses to a 32-char md5 BEFORE the join, so the
+    full-outer shuffle carries (key, fingerprint), never documents —
+    at 100 TB the shuffle is ~2% of corpus bytes. With both snapshots
+    bucketed by key the exchange disappears entirely.
+    """
+    o = old.select(F.col(key_col).alias("__k"),
+                   F.md5(F.col(text_col)).alias("old_md5"))
+    n = new.select(F.col(key_col).alias("__k"),
+                   F.md5(F.col(text_col)).alias("new_md5"))
+    status = (F.when(F.col("old_md5").isNull(), "added")
+              .when(F.col("new_md5").isNull(), "removed")
+              .when(F.col("old_md5") != F.col("new_md5"), "changed")
+              .otherwise("unchanged"))
+    return (o.join(n, "__k", "full_outer")
+            .select(F.col("__k").alias(key_col),
+                    status.alias("status"), "old_md5", "new_md5")
+            .where(F.col("status") != "unchanged"))
 
 
 def length_quantiles(

@@ -35,9 +35,10 @@ drop to 1e9 for hotter graphs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["synthetic_link_graph", "pagerank", "frontier_priority"]
+__all__ = ["synthetic_link_graph", "pagerank", "frontier_priority",
+           "anchor_text_rollup"]
 
 
 def synthetic_link_graph(
@@ -187,3 +188,57 @@ def frontier_priority(
                     F.coalesce(F.col("__pr"), F.lit(0)).cast("long"))
         .drop("__pr")
     )
+
+
+def anchor_text_rollup(
+    edges: DataFrame,
+    *,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    k: int = 3,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Aggregate link anchor texts onto their target pages.
+
+    The classic web-corpus enrichment (search engines since the 90s;
+    anchor text is an independent description of the target page and a
+    quality/topicality signal for LLM-corpus filtering): per target,
+    the in-link count and the top-``k`` anchor strings by frequency
+    (count desc, anchor asc — a total order), joined with ``|`` into
+    one flat, hashable column.
+
+    Scale shape: phase 0 collapses the edge list with one
+    combiner-friendly groupBy(dst, anchor) — the shuffle carries one
+    row per distinct (target, anchor), not per link, so a
+    billion-in-link homepage with a handful of anchor spellings costs
+    a handful of rows. The per-target top-k then runs the politeness
+    scheduler's salted two-phase window (operators/politeness.py:23):
+    rank within (dst, hash(anchor) % salt_buckets) first and keep at
+    most k per bucket, so even a target with millions of DISTINCT
+    anchors never funnels its whole anchor set through one task.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = (edges
+              .groupBy(F.col(dst_col).alias("dst"),
+                       F.col(anchor_col).alias("anchor"))
+              .agg(F.count(F.lit(1)).cast("long").alias("__n")))
+    order = [F.desc("__n"), F.asc("anchor")]
+    w1 = Window.partitionBy(
+        "dst",
+        F.pmod(F.xxhash64(F.col("anchor")), F.lit(salt_buckets))
+    ).orderBy(*order)
+    pre = (counts.withColumn("__rn", F.row_number().over(w1))
+           .where(F.col("__rn") <= k).drop("__rn"))
+    w2 = Window.partitionBy("dst").orderBy(*order)
+    top = (pre.withColumn("__rn", F.row_number().over(w2))
+           .where(F.col("__rn") <= k))
+    inlinks = (edges.groupBy(F.col(dst_col).alias("dst"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n_inlinks")))
+    rolled = (top.groupBy("dst")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col("__rn"), F.col("anchor")))),
+                      lambda s: s.anchor), "|").alias("top_anchors")))
+    return inlinks.join(rolled, "dst")

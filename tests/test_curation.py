@@ -602,3 +602,31 @@ def test_filter_length_outliers_band_inclusive_and_broadcast(spark):
     assert out.count() == 8
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # band frame broadcasts, docs don't shuffle
+
+
+# --------------------------------------------------------- snapshot_diff
+
+def test_snapshot_diff_statuses(spark):
+    from siren_spark.functions.curation import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma EDITED"), (4, "delta"), (5, "epsilon")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.status
+           for r in snapshot_diff(old, new).collect()}
+    # 2 and 4 are unchanged -> dropped; 1 removed, 3 changed, 5 added
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_snapshot_diff_fingerprints_and_partitioning(spark):
+    import hashlib
+    from siren_spark.functions.curation import snapshot_diff
+    old = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
+    new = spark.createDataFrame([(1, "z")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in snapshot_diff(
+        old.repartition(7), new.repartition(3)).collect()}
+    assert rows[1].old_md5 == hashlib.md5(b"x").hexdigest()
+    assert rows[1].new_md5 == hashlib.md5(b"z").hexdigest()
+    assert rows[2].status == "removed" and rows[2].new_md5 is None

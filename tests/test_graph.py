@@ -108,3 +108,34 @@ def test_frontier_priority_left_join_defaults_zero(spark, ring_edges):
            for r in frontier_priority(ranks, frontier).collect()}
     assert got[0] == 1_850_000_000_000
     assert got[99] == 0
+
+
+def test_anchor_text_rollup_hand_values(spark):
+    from siren_spark.functions.graph import anchor_text_rollup
+    edges = spark.createDataFrame(
+        [(1, 9, "home"), (2, 9, "home"), (3, 9, "news"),
+         (4, 9, "blog"), (5, 9, "arts"),          # 4 distinct anchors
+         (6, 8, "solo")],
+        ["src", "dst", "anchor"])
+    got = {r.dst: r for r in anchor_text_rollup(edges, k=2).collect()}
+    assert got[9].n_inlinks == 5
+    # home wins on count; arts/blog/news tie at 1 -> 'arts' by anchor asc
+    assert got[9].top_anchors == "home|arts"
+    assert got[8].n_inlinks == 1 and got[8].top_anchors == "solo"
+
+
+def test_anchor_text_rollup_salted_phase_exact(spark):
+    """The two-phase salted top-k must equal the naive global top-k
+    even when distinct anchors per target far exceed salt_buckets."""
+    from siren_spark.functions.graph import anchor_text_rollup
+    rows = [(i, 0, f"a{i % 37:02d}") for i in range(500)]
+    edges = spark.createDataFrame(rows, ["src", "dst", "anchor"])
+    for buckets in (1, 2, 16):
+        row = anchor_text_rollup(
+            edges, k=3, salt_buckets=buckets).collect()[0]
+        # counts: a00..a18 appear 14x, a19..a36 appear 13x (500 = 13*37+19)
+        assert row.n_inlinks == 500
+        assert row.top_anchors == "a00|a01|a02"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        anchor_text_rollup(edges, k=0)
