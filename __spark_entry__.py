@@ -1994,6 +1994,46 @@ FROM inl JOIN top USING (dst)
 """
 
 
+def _q_dedup_lines(docs):
+    from pyspark.sql import functions as F
+
+    from siren_spark.functions.curation import dedup_lines_global
+    # the synthetic docs are single-line; word-per-line is the
+    # deterministic multi-line rewrite (common words become the
+    # recurring "boilerplate" lines removed corpus-wide)
+    multi = docs.select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text"))
+    return dedup_lines_global(multi)
+
+
+_DEDUP_LINES_DUCK = """
+WITH d AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text
+           FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, chr(10)))))
+           AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM d),
+dup AS (
+  SELECT line
+  FROM (SELECT DISTINCT line, doc_id FROM l WHERE len(trim(line)) >= 1)
+  GROUP BY line HAVING count(*) >= 2),
+kept AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE line NOT IN (SELECT line FROM dup)),
+tot AS (SELECT doc_id, count(*) AS total FROM l GROUP BY doc_id),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       COALESCE(a.text, '') AS text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.total - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": _q(_Q1_SPARK, _Q1_DUCK),
     "p1_date_window_filter": _q(_P1),
@@ -2067,6 +2107,7 @@ _REGISTRY: dict[str, tuple] = {
     "filter_length_outliers": (_docs_q(_q_length_outliers),
                                _LEN_OUTLIER_DUCK),
     "snapshot_diff": (_docs_q(_q_snapshot_diff), _SNAPSHOT_DUCK),
+    "dedup_lines_global": (_docs_q(_q_dedup_lines), _DEDUP_LINES_DUCK),
     "anchor_text_rollup": (_docs_q(_q_anchor_rollup), _ANCHOR_DUCK),
 }
 

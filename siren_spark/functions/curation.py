@@ -723,6 +723,68 @@ def snapshot_diff(
             .where(F.col("status") != "unchanged"))
 
 
+def dedup_lines_global(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level exact line dedup (the RefinedWeb / CCNet recipe).
+
+    Boilerplate removal at line granularity: any line occurring in
+    >= ``min_docs`` DISTINCT documents ("share on facebook", cookie
+    banners, nav menus) is removed from EVERY document; remaining lines
+    are reassembled in original order. Lines whose trimmed length is
+    below ``min_chars`` (blank separators) never participate and are
+    always kept. One row out per row in: (id, cleaned text, n_kept,
+    n_removed) — a document whose every line recurs comes back with
+    empty text, not silently dropped.
+
+    Reference parity: the reference keeps per-site scrapers clean by
+    construction; on raw crawl text this is the standard corpus-level
+    substitute (RefinedWeb sec. 3.3 exact line dedup).
+
+    Scale: lines collapse to md5 digests before any wide exchange — the
+    distinct-doc count groups by digest (16 bytes + id on the shuffle,
+    never line bytes), and the removal is a left_anti equi-join on the
+    digest, so Catalyst/AQE broadcasts the (small) recurring-line set
+    when it fits and falls back to a hash join when it does not.
+    Reassembly is one groupBy(doc) whose state is bounded by the
+    largest single document — the same bound the input row itself pays.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__pos", "__line"))
+    digested = lines.withColumn("__h", F.md5("__line"))
+    dup = (digested
+           .where(F.length(F.trim("__line")) >= min_chars)
+           .select("__h", id_col).distinct()
+           .groupBy("__h").count()
+           .where(F.col("count") >= min_docs)
+           .select("__h"))
+    kept = digested.join(dup, "__h", "left_anti")
+    zero = F.lit(0).cast("long")
+    agg = (kept.groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__pos", "__line"))),
+                        lambda s: s["__line"]),
+                    "\n").alias(text_col)))
+    totals = (lines.groupBy(id_col)
+              .agg(F.count("*").cast("long").alias("__total")))
+    return (totals.join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+                    F.coalesce("n_kept", zero).alias("n_kept"),
+                    (F.col("__total") - F.coalesce("n_kept", zero))
+                    .cast("long").alias("n_removed")))
+
+
 def length_quantiles(
     df: DataFrame,
     *,
