@@ -1994,6 +1994,74 @@ FROM inl JOIN top USING (dst)
 """
 
 
+def _q_winnow(docs):
+    from siren_spark.functions.text import winnow_fingerprints
+    return winnow_fingerprints(docs, k=8, w=4)
+
+
+_WINNOW_DUCK = """
+WITH g AS (SELECT doc_id, text, len(text) - 8 + 1 AS m
+           FROM documents WHERE len(text) >= 8),
+h AS (SELECT doc_id, m,
+        list_transform(generate_series(1, m),
+                       i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs
+      FROM g),
+w AS (SELECT doc_id, m, hs, least(4, m) AS we FROM h),
+sel AS (SELECT doc_id,
+          list_transform(
+            generate_series(1, m - we + 1),
+            j -> {'pos': j - 1 + list_max(list_transform(
+                      generate_series(1, we),
+                      i -> CASE WHEN hs[j + i - 1] =
+                             list_aggregate(hs[j:j+we-1], 'min')
+                           THEN i ELSE 0 END)),
+                  'fp': list_aggregate(hs[j:j+we-1], 'min')}) AS fps
+        FROM w)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(u.pos AS BIGINT) AS pos, u.fp AS fp
+FROM sel, UNNEST(fps) AS t(u)
+"""
+
+
+def _q_mirror_hosts(docs):
+    from pyspark.sql import functions as F
+
+    from siren_spark.functions.graph import detect_mirror_hosts
+    # synthesize a hosted corpus: every doc on host h<doc_id%40>, and
+    # every third doc ALSO on mirror host m<doc_id%40>
+    host = (F.col("doc_id") % 40).cast("string")
+    base = docs.select(F.concat(F.lit("h"), host).alias("host"), "text")
+    mirror = (docs.where(F.col("doc_id") % 3 == 0)
+              .select(F.concat(F.lit("m"), host).alias("host"), "text"))
+    return detect_mirror_hosts(base.unionByName(mirror))
+
+
+_MIRROR_DUCK = """
+WITH hb AS (
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host, text
+  FROM documents
+  UNION ALL
+  SELECT 'm' || CAST(doc_id % 40 AS VARCHAR) AS host, text
+  FROM documents WHERE doc_id % 3 = 0),
+fp AS (SELECT DISTINCT host, md5(text) AS fp FROM hb),
+sizes AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM fp
+          GROUP BY host),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 64),
+t AS (SELECT f.host, f.fp FROM fp f JOIN rare USING (fp)),
+sh AS (SELECT a.host AS host_a, b.host AS host_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+       FROM t a JOIN t b ON a.fp = b.fp AND a.host < b.host
+       GROUP BY a.host, b.host)
+SELECT sh.host_a, sh.host_b, sh.n_shared, sa.n AS n_a, sb.n AS n_b,
+       CAST((1000 * sh.n_shared) // least(sa.n, sb.n) AS BIGINT)
+         AS overlap_milli
+FROM sh JOIN sizes sa ON sa.host = sh.host_a
+        JOIN sizes sb ON sb.host = sh.host_b
+WHERE sh.n_shared >= 2
+  AND (1000 * sh.n_shared) // least(sa.n, sb.n) >= 200
+"""
+
+
 def _q_dedup_lines(docs):
     from pyspark.sql import functions as F
 
@@ -2108,6 +2176,8 @@ _REGISTRY: dict[str, tuple] = {
                                _LEN_OUTLIER_DUCK),
     "snapshot_diff": (_docs_q(_q_snapshot_diff), _SNAPSHOT_DUCK),
     "dedup_lines_global": (_docs_q(_q_dedup_lines), _DEDUP_LINES_DUCK),
+    "mirror_hosts": (_docs_q(_q_mirror_hosts), _MIRROR_DUCK),
+    "winnow_fingerprints": (_docs_q(_q_winnow), _WINNOW_DUCK),
     "anchor_text_rollup": (_docs_q(_q_anchor_rollup), _ANCHOR_DUCK),
 }
 

@@ -242,3 +242,66 @@ def anchor_text_rollup(
                           F.struct(F.col("__rn"), F.col("anchor")))),
                       lambda s: s.anchor), "|").alias("top_anchors")))
     return inlinks.join(rolled, "dst")
+
+
+def detect_mirror_hosts(
+    df: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_shared: int = 2,
+    min_overlap_milli: int = 200,
+    fp_host_cap: int = 64,
+) -> DataFrame:
+    """Mirror-site detection: host pairs sharing duplicated content.
+
+    The crawl-scheduling counterpart of document dedup (Bharat &
+    Broder, "Mirror, mirror on the Web", WWW 1999): a crawler that
+    detects mirrored hosts stops fetching the copy. Two hosts are a
+    candidate mirror pair when they share >= ``min_shared`` distinct
+    content fingerprints AND the shared count is >=
+    ``min_overlap_milli``/1000 of the SMALLER host's distinct-content
+    count (integer milli-fraction — `1000*shared div min(n_a,n_b)`,
+    pure integer division, bit-exact in any engine). Output one row
+    per unordered pair (host_a < host_b) with both sizes, the shared
+    count, and the overlap.
+
+    Scale: content collapses to md5 digests and (host, digest) pairs
+    are made DISTINCT before anything wide — document bytes never
+    shuffle. The quadratic hazard is a fingerprint present on MANY
+    hosts (empty pages, parking templates): a host appearing on
+    > ``fp_host_cap`` hosts generates cap^2 pairs and carries no
+    mirror signal, so such fingerprints are dropped before the
+    self-join (the high-frequency-shingle cutoff from the same paper).
+    With the cap, the pair fan-out per fingerprint is bounded and the
+    self-join is a plain digest equi-join — never host x host.
+    """
+    fp = (df.select(F.col(host_col).alias("host"),
+                    F.md5(F.col(text_col)).alias("__fp"))
+          .distinct())
+    sizes = (fp.groupBy("host")
+             .agg(F.count("*").cast("long").alias("__n")))
+    rare = (fp.groupBy("__fp")
+            .agg(F.count("*").alias("__hosts"))
+            .where(F.col("__hosts") <= fp_host_cap)
+            .select("__fp"))
+    trimmed = fp.join(rare, "__fp")
+    a = trimmed.select("__fp", F.col("host").alias("host_a"))
+    b = trimmed.select("__fp", F.col("host").alias("host_b"))
+    shared = (a.join(b, "__fp")
+              .where(F.col("host_a") < F.col("host_b"))
+              .groupBy("host_a", "host_b")
+              .agg(F.count("*").cast("long").alias("n_shared")))
+    na = sizes.select(F.col("host").alias("host_a"),
+                      F.col("__n").alias("n_a"))
+    nb = sizes.select(F.col("host").alias("host_b"),
+                      F.col("__n").alias("n_b"))
+    return (shared.join(na, "host_a").join(nb, "host_b")
+            .withColumn(
+                "overlap_milli",
+                F.expr("(1000 * n_shared) div least(n_a, n_b)")
+                .cast("long"))
+            .where((F.col("n_shared") >= min_shared)
+                   & (F.col("overlap_milli") >= min_overlap_milli))
+            .select("host_a", "host_b", "n_shared", "n_a", "n_b",
+                    "overlap_milli"))

@@ -346,3 +346,62 @@ __all__ = ["with_token_counts", "with_bpe_token_count",
            "with_normalized_text", "CONTROL_CHAR_RE", "WHITESPACE_RUN_RE",
            "dedup_exact", "BPE_PRETOKEN_RE", "STOPWORDS",
            "DEFAULT_BPE_MERGES", "PII_EMAIL_RE", "PII_PHONE_RE"]
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm).
+
+    Local fingerprinting with a detection GUARANTEE: hash every
+    ``k``-gram, slide a window of ``w`` consecutive hashes, select the
+    window minimum (rightmost on ties), emit the distinct (pos, hash)
+    selections. Any substring shared between two documents of length
+    >= ``w + k - 1`` is then guaranteed to contribute at least one
+    common fingerprint — the property plain "every n-th hash" sampling
+    lacks — at an expected density of 2/(w+1) selections per position.
+    The complement to dedup_span_exact's fixed-stride windows: use
+    these fingerprints as join keys to find shared-span candidates of
+    ANY alignment. Texts shorter than ``k`` yield no fingerprints; for
+    texts shorter than ``w`` hashes the window shrinks to the hash
+    count so every doc >= ``k`` chars gets at least one.
+
+    Hashes are the first 8 hex chars of md5(k-gram) — kept as hex
+    STRINGS so "minimum" is a lexicographic compare any engine
+    reproduces bit-exactly (same trick as curation._hash8).
+
+    Scale: the whole selection is per-row array math inside
+    whole-stage codegen (one projection, no UDF, no shuffle, no
+    explode until the final flat fan-out); cost O(len * w) per doc,
+    output ~2/(w+1) rows per char. The fingerprint table is what
+    shuffles — 8-char slices + position, never document bytes.
+    """
+    assert k >= 1 and w >= 1
+    hashes = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k} + 1), "
+        f"i -> substring(md5(substring({text_col}, i, {k})), 1, 8))")
+    base = (df.where(F.length(text_col) >= k)
+            .select(F.col(id_col), hashes.alias("__h"))
+            .withColumn("__we", F.least(F.lit(w), F.size("__h"))))
+    # rightmost argmin per window, as in the paper; array_distinct is
+    # row-local so repeated selections collapse without a shuffle
+    sel = F.expr("""
+        array_distinct(transform(
+          sequence(1, size(__h) - __we + 1),
+          j -> named_struct(
+            'pos', CAST(j - 1 + array_max(transform(
+                     sequence(1, __we),
+                     i -> IF(element_at(__h, j + i - 1) =
+                             array_min(slice(__h, j, __we)), i, 0)))
+                   AS BIGINT),
+            'fp', array_min(slice(__h, j, __we)))))""")
+    return (base.select(F.col(id_col), F.explode(sel).alias("__s"))
+            .select(F.col(id_col),
+                    F.col("__s.pos").alias("pos"),
+                    F.col("__s.fp").alias("fp")))
