@@ -1999,6 +1999,39 @@ def _q_winnow(docs):
     return winnow_fingerprints(docs, k=8, w=4)
 
 
+def _q_winnow_pairs(docs):
+    from siren_spark.functions.text import winnow_candidate_pairs
+    # k=24 grams on this small-vocab corpus: rare enough that a shared
+    # fingerprint is a genuine shared span, not vocabulary overlap
+    return winnow_candidate_pairs(docs, k=24, w=8, min_shared=2,
+                                  fp_doc_cap=16)
+
+
+_WINNOW_PAIRS_DUCK = """
+WITH g AS (SELECT doc_id, text, len(text) - 24 + 1 AS m
+           FROM documents WHERE len(text) >= 24),
+h AS (SELECT doc_id, m,
+        list_transform(generate_series(1, m),
+                       i -> substr(md5(substr(text, i, 24)), 1, 8)) AS hs
+      FROM g),
+w AS (SELECT doc_id, m, hs, least(8, m) AS we FROM h),
+sel AS (SELECT DISTINCT doc_id, u AS fp
+        FROM (SELECT doc_id,
+                list_transform(generate_series(1, m - we + 1),
+                               j -> list_aggregate(hs[j:j+we-1], 'min'))
+                  AS fps
+              FROM w), UNNEST(fps) AS t(u)),
+rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 16),
+t AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare USING (fp))
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM t a JOIN t b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 _WINNOW_DUCK = """
 WITH g AS (SELECT doc_id, text, len(text) - 8 + 1 AS m
            FROM documents WHERE len(text) >= 8),
@@ -2178,6 +2211,8 @@ _REGISTRY: dict[str, tuple] = {
     "dedup_lines_global": (_docs_q(_q_dedup_lines), _DEDUP_LINES_DUCK),
     "mirror_hosts": (_docs_q(_q_mirror_hosts), _MIRROR_DUCK),
     "winnow_fingerprints": (_docs_q(_q_winnow), _WINNOW_DUCK),
+    "winnow_candidate_pairs": (_docs_q(_q_winnow_pairs),
+                               _WINNOW_PAIRS_DUCK),
     "anchor_text_rollup": (_docs_q(_q_anchor_rollup), _ANCHOR_DUCK),
 }
 

@@ -405,3 +405,53 @@ def winnow_fingerprints(
             .select(F.col(id_col),
                     F.col("__s.pos").alias("pos"),
                     F.col("__s.fp").alias("fp")))
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    fp_doc_cap: int = 64,
+) -> DataFrame:
+    """Any-alignment shared-span candidate pairs via winnowing.
+
+    The join the fingerprints exist for (Schleimer/Wilkerson/Aiken
+    SIGMOD 2003 §4 — MOSS runs exactly this over its fingerprint
+    index): doc pairs sharing >= ``min_shared`` distinct winnow
+    fingerprint hashes. By the winnowing guarantee every shared
+    substring of length >= ``w + k - 1`` contributes at least one
+    common fingerprint, so with ``min_shared=1`` this finds ALL pairs
+    sharing a span that long, at ANY alignment — the recall property
+    MinHash-LSH (probabilistic) and dedup_span_exact (fixed stride)
+    each trade away. Output one row per unordered pair
+    (id_a < id_b) with the shared-fingerprint count.
+
+    Scale: same shape as graph.detect_mirror_hosts — selections
+    collapse to DISTINCT (id, 8-char hash) before anything wide, so
+    the equi-join carries slices, never text. The quadratic hazard is
+    a fingerprint appearing in MANY docs (boilerplate: headers, empty
+    strings — in MOSS terms, code every submission shares); a hash in
+    > ``fp_doc_cap`` docs generates cap^2 pairs and carries no
+    shared-SPAN signal, so it is dropped before the self-join. The
+    fan-out per surviving hash is then <= cap^2 and the join is a
+    plain digest equi-join — never doc x doc.
+    """
+    fps = (winnow_fingerprints(df, id_col=id_col, text_col=text_col,
+                               k=k, w=w)
+           .select(F.col(id_col), "fp").distinct())
+    rare = (fps.groupBy("fp")
+            .agg(F.count("*").alias("__docs"))
+            .where(F.col("__docs") <= fp_doc_cap)
+            .select("fp"))
+    trimmed = fps.join(rare, "fp")
+    a = trimmed.select("fp", F.col(id_col).alias("id_a"))
+    b = trimmed.select("fp", F.col(id_col).alias("id_b"))
+    return (a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

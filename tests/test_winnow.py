@@ -96,3 +96,43 @@ def test_plan_no_shuffle_before_fanout(spark):
     plan = (winnow_fingerprints(d, k=K, w=W)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_candidate_pairs_guarantee_and_cap(spark):
+    from siren_spark.functions.text import winnow_candidate_pairs
+    shared = "zqxjkvbwpfy"[:GUARANTEE]
+    d = _df(spark, [
+        (1, "aaaaaaaaaaaaaaa" + shared + "bbbbbb"),
+        (2, "cc" + shared + "ddddddddddddddddddd"),
+        (3, "eeeeeeeeeeeeeeeeeeeeeeeeeeeeee"),        # unrelated
+    ])
+    got = {(r.id_a, r.id_b): r.n_shared for r in
+           winnow_candidate_pairs(d, k=K, w=W, min_shared=1)
+           .collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert not any(3 in p for p in got)
+
+
+def test_candidate_pairs_hot_fp_dropped(spark):
+    from siren_spark.functions.text import winnow_candidate_pairs
+    # the same text on 5 docs: with fp_doc_cap=4 every fingerprint is
+    # "hot" and no pair survives; with the cap lifted all 10 do
+    rows = [(i, "the quick brown fox jumps over") for i in range(5)]
+    d = _df(spark, rows)
+    assert winnow_candidate_pairs(d, k=K, w=W, min_shared=1,
+                                  fp_doc_cap=4).count() == 0
+    assert winnow_candidate_pairs(d, k=K, w=W, min_shared=1,
+                                  fp_doc_cap=5).count() == 10
+
+
+def test_candidate_pairs_partition_invariant(spark):
+    from siren_spark.functions.text import winnow_candidate_pairs
+    shared = "zqxjkvbwpfymgh"
+    rows = [(i, f"pad{i:04d}xx" + shared + f"tail{i % 3}") for i in range(12)]
+    base = {(r.id_a, r.id_b, r.n_shared) for r in
+            winnow_candidate_pairs(_df(spark, rows), k=K, w=W,
+                                   min_shared=1).collect()}
+    re16 = {(r.id_a, r.id_b, r.n_shared) for r in
+            winnow_candidate_pairs(_df(spark, rows).repartition(16),
+                                   k=K, w=W, min_shared=1).collect()}
+    assert base == re16 and base
