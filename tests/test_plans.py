@@ -80,6 +80,12 @@ def test_similarity_plans_never_cross_join(spark):
         "ann_topk": _plan(ann_lsh_topk(
             emb, query_filter=F.col("vec_id") < 5)),
     }
+    from siren_spark.functions.graph import detect_mirror_hosts
+    from siren_spark.functions.text import winnow_candidate_pairs
+    hosted = docs.select(
+        (F.col("doc_id") % 40).cast("string").alias("host"), "text")
+    plans["mirror_hosts"] = _plan(detect_mirror_hosts(hosted))
+    plans["winnow_pairs"] = _plan(winnow_candidate_pairs(docs, k=24, w=8))
     for name, p in plans.items():
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
