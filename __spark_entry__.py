@@ -407,15 +407,20 @@ SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
 FROM s
 """
 
-_ANN_TOPK_SPARK = f"""
-WITH sims AS ({_ANN_SPARK})
-SELECT q_id, vec_id, cosine FROM (
-  SELECT q_id, vec_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY cosine DESC, vec_id ASC) AS rn
-  FROM sims
-) WHERE rn <= 3
-"""
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-3 cosine neighbors for queries vec_id < 5
+    (similarity.ann_brute_topk): one NumPy int64 matmul per Arrow batch
+    over the quantized corpus, JVM-side ROUND(dot/sqrt(nq*ne), 6) —
+    bit-identical to the old cross-join SQL formulation this replaced
+    (the interpreted per-pair array lambdas owned the query cost)."""
+    from pyspark.sql import functions as F
+
+    from siren_spark.functions.similarity import ann_brute_topk
+    _views(spark, sf_dir)
+    return ann_brute_topk(spark.table("embeddings"),
+                          query_filter=F.col("vec_id") < 5, k=3)
+
+
 _ANN_TOPK_DUCK = f"""
 WITH sims AS ({_ANN_DUCK})
 SELECT q_id, vec_id, cosine FROM (
@@ -2166,7 +2171,7 @@ _REGISTRY: dict[str, tuple] = {
                              _JACCARD_VERIFY_DUCK),
     "dedup_components": (_docs_q(_q_dedup_components), _COMPONENTS_DUCK),
     "ann_cosine_brute": _q(_ANN_SPARK, _ANN_DUCK),
-    "ann_cosine_topk": _q(_ANN_TOPK_SPARK, _ANN_TOPK_DUCK),
+    "ann_cosine_topk": (_q_ann_topk, _ANN_TOPK_DUCK),
     "ann_lsh_buckets": (_emb_q(_q_lsh_buckets), _IVF_DUCK),
     "ann_lsh_topk": (_emb_q(_q_ann_lsh_topk), _ANN_LSH_TOPK_DUCK),
     "ann_ivf_topk": (_emb_q(_q_ann_ivf_topk), _ANN_IVF_TOPK_DUCK),

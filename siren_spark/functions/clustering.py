@@ -16,11 +16,14 @@ executors that means unreproducible clusters — quantized Lloyd
 trades ~1e-3 centroid resolution for exact reproducibility.
 
 Scale per iteration (the textbook distributed shape):
-- assignment is a flat map — k×d integer multiply-adds per row in
-  whole-stage codegen (no UDF, no shuffle); argmin via array_min over
-  (dist2, cluster) structs, ties to the lowest cluster id;
-- the update is ONE combiner-friendly groupBy over (cluster, dim):
-  the shuffle carries k×d partial (sum, count) rows per task;
+- assignment + the per-batch partial (cluster, dim) sums run in ONE
+  NumPy pass per Arrow batch (``mapInArrow``): dist2 to all k
+  centroids is a single int64 matrix expression, argmin ties to the
+  lowest cluster id; nothing shuffles but k×d partial (sum, count)
+  rows per batch (the earlier formulation evaluated k interpreted
+  zip_with/aggregate lambdas per row — no codegen — and posexploded
+  every vector into d rows before the update groupBy);
+- the update is ONE combiner-friendly groupBy over (cluster, dim);
 - new centroids (k×d longs) collect to the driver and re-enter the
   next iteration's plan as literals — the canonical broadcast-the-
   model / shuffle-the-stats loop; k·d·iters is driver-trivial
@@ -33,19 +36,29 @@ Empty clusters keep their previous centroid.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from siren_spark.functions.similarity import quantize_embedding
 
+def _assign_np(flat, n, centroids_np):
+    """(cluster, dist2) per row from a flat float array of n vectors.
 
-def _dist2(ev: Column, cv: list[int]) -> Column:
-    """Exact squared L2 between an integer vector column and an
-    integer centroid literal."""
-    lit = F.array(*[F.lit(int(v)) for v in cv])
-    return F.aggregate(
-        F.zip_with(ev, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    Exact int64 math: quantize with floor(x*1000) (identical IEEE
+    double steps as the JVM/DuckDB expression), then
+    dist2 = |ev|^2 - 2 ev·c + |c|^2 per centroid; argmin's
+    first-occurrence rule IS the tie-to-lowest-cluster-id rule.
+    """
+    import numpy as np
+
+    ev = np.floor(flat.astype(np.float64) * 1000.0).astype(np.int64) \
+        .reshape(n, -1)
+    cm = centroids_np                        # (k, d) int64
+    d2 = ((ev * ev).sum(axis=1, keepdims=True)
+          - 2 * (ev @ cm.T)
+          + (cm * cm).sum(axis=1)[None, :])  # (n, k) exact int64
+    cluster = np.argmin(d2, axis=1)
+    dist2 = d2[np.arange(n), cluster]
+    return ev, cluster.astype(np.int64), dist2
 
 
 def kmeans_assign(
@@ -58,37 +71,81 @@ def kmeans_assign(
     """Assign every vector to its nearest centroid (exact integer
     squared-L2; ties to the lowest cluster id). Returns
     (id, cluster INT, dist2 BIGINT). Flat map — no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
     if not centroids:
         raise ValueError("centroids must be non-empty")
     d = len(centroids[0])
     if any(len(c) != d for c in centroids):
         raise ValueError("centroids must share one dimensionality")
-    best = _best(quantize_embedding(F.col(emb_col)), centroids)
-    return df.select(F.col(id_col).cast("long").alias(id_col),
-                     best["cluster"].cast("int").alias("cluster"),
-                     best["dist2"].alias("dist2"))
+    cm = np.array([[int(v) for v in c] for c in centroids], dtype=np.int64)
+
+    def assign(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+            _, cluster, dist2 = _assign_np(flat, n, cm)
+            yield pa.record_batch(
+                [pa.array(ids.astype(np.int64)),
+                 pa.array(cluster.astype(np.int32)),
+                 pa.array(dist2)],
+                names=["__id", "cluster", "dist2"])
+
+    out = (df.select(F.col(id_col).cast("long"), F.col(emb_col))
+           .mapInArrow(assign, "__id long, cluster int, dist2 long"))
+    return out.select(F.col("__id").alias(id_col), "cluster", "dist2")
 
 
-def _best(ev: Column, centroids: list[list[int]]) -> Column:
-    return F.array_min(F.array(*[
-        F.struct(_dist2(ev, cv).alias("dist2"),
-                 F.lit(j).alias("cluster"))
-        for j, cv in enumerate(centroids)]))
-
-
-def _update(assigned_with_ev: DataFrame,
+def _update(df: DataFrame, emb_col: str,
             centroids: list[list[int]]) -> list[list[int]]:
-    """One exact Lloyd update: floor of the per-(cluster, dim) mean."""
+    """One exact Lloyd update: floor of the per-(cluster, dim) mean.
+
+    Assignment and per-batch partial sums happen in the same NumPy
+    pass; the shuffle carries at most k×d (cluster, dim, s, n) rows
+    per Arrow batch.
+    """
+    import numpy as np
+    import pyarrow as pa
+
     k, d = len(centroids), len(centroids[0])
-    stats = (assigned_with_ev
-             .select("cluster", F.posexplode("__ev").alias("dim", "x"))
-             .groupBy("cluster", "dim")
-             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-             .collect())
+    cm = np.array([[int(v) for v in c] for c in centroids], dtype=np.int64)
+
+    def stats(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            flat = b.column(0).flatten().to_numpy(zero_copy_only=False)
+            ev, cluster, _ = _assign_np(flat, n, cm)
+            cl_out, dim_out, s_out, n_out = [], [], [], []
+            for j in np.unique(cluster):
+                m = cluster == j
+                s = ev[m].sum(axis=0)
+                cnt = int(m.sum())
+                cl_out.append(np.full(d, j, dtype=np.int64))
+                dim_out.append(np.arange(d, dtype=np.int64))
+                s_out.append(s)
+                n_out.append(np.full(d, cnt, dtype=np.int64))
+            yield pa.record_batch(
+                [pa.array(np.concatenate(cl_out)),
+                 pa.array(np.concatenate(dim_out)),
+                 pa.array(np.concatenate(s_out)),
+                 pa.array(np.concatenate(n_out))],
+                names=["cluster", "dim", "s", "n"])
+
+    rows = (df.select(F.col(emb_col))
+            .mapInArrow(stats, "cluster long, dim long, s long, n long")
+            .groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect())
     new = [list(c) for c in centroids]      # empty clusters keep theirs
-    for r in stats:
+    for r in rows:
         # floor division is exact while |s| < 2^63 (quantized coords)
-        new[r.cluster][r.dim] = r.s // r.n
+        new[int(r.cluster)][int(r.dim)] = int(r.s) // int(r.n)
     assert all(len(c) == d for c in new) and len(new) == k
     return new
 
@@ -104,6 +161,8 @@ def kmeans_fit(
     """Run ``iters`` exact Lloyd updates from the deterministic init
     (quantized vectors of the k smallest ids) and return
     (final integer centroids, final assignment DataFrame)."""
+    from siren_spark.functions.similarity import quantize_embedding
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 0:
@@ -114,14 +173,8 @@ def kmeans_fit(
     if len(seeds) < k:
         raise ValueError(f"k={k} exceeds corpus size {len(seeds)}")
     centroids = [list(r["__ev"]) for r in seeds]
-    base = df.select(quantize_embedding(F.col(emb_col)).alias("__ev"))
     for _ in range(iters):
-        # assignment rides inline on the quantized frame — no join,
-        # the iteration is scan + one (cluster, dim) aggregate
-        assigned = base.select(
-            "__ev", _best(F.col("__ev"), centroids)["cluster"]
-            .alias("cluster"))
-        centroids = _update(assigned, centroids)
+        centroids = _update(df, emb_col, centroids)
     return centroids, kmeans_assign(df, centroids,
                                     id_col=id_col, emb_col=emb_col)
 

@@ -343,13 +343,18 @@ def tfidf_topk_terms(
     on this).
 
     Plan shape at 100 TB: one (doc, term) groupBy with map-side
-    combine builds tf; df reduces tf by term (vocab-sized, Zipf-safe —
-    the combiner collapses hot terms per task before the shuffle); N
-    rides in as a broadcast 1-row cross join (never a driver
-    ``.count()`` — the whole plan stays lazy); the tf-df equi-join
-    shuffles on term; the per-doc top-k is a row_number window
-    partitioned by doc (bounded state per key). No step holds a
-    per-task structure larger than the vocabulary.
+    combine builds tf; df = COUNT(*) OVER (PARTITION BY term) on the tf
+    frame — tf rows are one per (doc, term), so the partition count IS
+    the document frequency, computed with ONE pass over the tokenize
+    pipeline (the earlier tf.groupBy(term) + equi-join formulation made
+    Catalyst plan the explode/aggregate subtree TWICE: column pruning
+    dropped the count from the df branch, the two exchanges stopped
+    being identical, and ReuseExchange could not fire — measured 2x the
+    tokenize cost); N rides in as a broadcast 1-row cross join (never a
+    driver ``.count()`` — the whole plan stays lazy); the per-doc top-k
+    is a row_number window partitioned by doc (WindowGroupLimit bounds
+    the exchange to top_k rows per doc per task). Every post-tokenize
+    shuffle carries one row per (doc, term) — never document text.
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
@@ -359,10 +364,11 @@ def tfidf_topk_terms(
                    F.explode(F.split(F.col(text_col), " ")).alias("term"))
            .filter(F.length("term") > 0))
     tf = tok.groupBy("__doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_term = Window.partitionBy("term")
+    tfdf = tf.withColumn("df", F.count(F.lit(1)).over(w_term))
     n = df.filter(F.length(text_col) > 0).select(
         F.count(F.lit(1)).alias("__n"))
-    scored = (tf.join(dfreq, "term")
+    scored = (tfdf
               .crossJoin(F.broadcast(n))
               .select(F.col("__doc"),
                       "term",

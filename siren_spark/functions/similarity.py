@@ -84,8 +84,18 @@ def minhash_signatures(
     deduplicated: ``min`` is idempotent, so repeated shingles cannot
     change any signature — dropping ``array_distinct`` removes a
     per-document O(n^2) comparison loop. The shuffle carries only
-    (id, 8-char slices); map-side partial mins make it
-    combiner-friendly at any corpus size.
+    (id, 8 BIGINTs); map-side partial mins make it combiner-friendly
+    at any corpus size.
+
+    The per-slice min runs on the slice's NUMERIC value
+    (``conv(hex, 16, 10)`` -> BIGINT): all slices are fixed-width
+    lowercase hex, so lexicographic and numeric order agree, and a
+    BIGINT min aggregates in a mutable fixed-width buffer —
+    whole-stage-codegen HashAggregate with map-side partial mins —
+    while ``min(string)`` falls back to SortAggregate, a full sort of
+    every exploded shingle row (measured: the sort owned the query).
+    The hex signature column contract is unchanged: values convert
+    back with ``lpad(lower(hex(m)), 8, '0')``.
     """
     assert 1 <= perms <= 16, "4 md5s provide 16 disjoint 8-hex slices"
     n_hashes = -(-perms // 4)   # each md5 hex digest = 4 slices of 8
@@ -101,9 +111,14 @@ def minhash_signatures(
         "id", F.concat(F.md5(F.col("s")),
                        *[F.md5(F.concat(F.col("s"), F.lit("#" * k)))
                          for k in range(1, n_hashes)]).alias("h"))
-    return hh.groupBy("id").agg(
-        *[F.min(F.substring(F.col("h"), 1 + 8 * j, 8)).alias(f"m{j}")
+    mins = hh.groupBy("id").agg(
+        *[F.min(F.conv(F.substring(F.col("h"), 1 + 8 * j, 8), 16, 10)
+                .cast("long")).alias(f"__n{j}")
           for j in range(perms)])
+    return mins.select(
+        "id", *[F.lpad(F.lower(F.hex(F.col(f"__n{j}"))), 8, "0")
+                .alias(f"m{j}")
+                for j in range(perms)])
 
 
 def minhash_band_keys(
@@ -346,6 +361,13 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
 
     Kept for oracle parity and tiny corpora; 16 bits saturate around
     10^5 documents — use :func:`simhash64` beyond that.
+
+    Same one-groupBy shape as :func:`simhash64`: 16 conditional sums
+    per token row, combiner-friendly, no per-bit explode (the old
+    explode(0..15) amplified every token occurrence 16x and paid a
+    second exchange on (doc_id, bit); bit tests via ``bitwiseAND``
+    instead of ``floor(h / pow(2, i)) % 2`` — identical parity for
+    h < 2^32, all-integer).
     """
     tok = (_spread(df).select(F.col(id_col).alias("doc_id"),
                               F.explode(F.array_distinct(
@@ -354,17 +376,16 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
         .cast("long").alias("h"))
-    bits = (th.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(15)))
-                      .alias("i"), "h")
-            .groupBy("doc_id", "i")
-            .agg(F.sum(F.when((F.floor(F.col("h") / F.pow(F.lit(2),
-                                                          F.col("i")))
-                               .cast("long") % 2) == 1, 1)
-                       .otherwise(-1)).alias("s")))
-    return (bits.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
-            .agg(F.sum(F.when(F.col("s") > 0,
-                              F.pow(F.lit(2), F.col("i")).cast("long"))
-                       .otherwise(F.lit(0))).cast("long").alias("simhash16")))
+    sums = th.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)
+                .otherwise(-1)).alias(f"s{i}")
+          for i in range(16)])
+    val = F.lit(0).cast("long")
+    for i in range(16):
+        val = val + F.when(F.col(f"s{i}") > 0,
+                           F.lit(1 << i).cast("long")).otherwise(0)
+    return sums.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       val.cast("long").alias("simhash16"))
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
@@ -616,6 +637,83 @@ def ann_lsh_topk(
             .where(F.col("rn") <= k).drop("rn"))
 
 
+def ann_brute_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    query_filter: Column,
+    k: int = 3,
+) -> DataFrame:
+    """(q_id, vec_id, cosine): EXACT top-k neighbors per query by
+    brute-force scoring — the ground-truth sibling of
+    :func:`ann_lsh_topk` (recall harnesses, small query sets over a
+    large corpus).
+
+    The query set is collected to the driver (model-sized, like k-means
+    centroids — keep it small; it is shipped in the task closure) with
+    its vectors already JVM-quantized; every corpus batch is then scored
+    in ONE NumPy int64 matrix multiply inside ``mapInArrow`` (guide
+    shape: let Spark do distribution + I/O, hand whole Arrow batches to
+    vectorized native code). Integer dot products on floor(x*1000)
+    quantized vectors are exact under any order, and the final
+    ``cosine`` is the same JVM expression the SQL formulation uses
+    (ROUND(dot / sqrt(nq*ne), 6)) — bit-identical results, ~10x less
+    per-row overhead than interpreted array lambdas over a cross join.
+
+    Scale: the corpus is scanned once, never shuffled; the only
+    exchange carries (q_id, vec_id, cosine) rows already reduced to
+    top-k per query per task by WindowGroupLimit.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    q_rows = (df.where(query_filter)
+              .select(F.col(id_col).cast("long").alias("q_id"),
+                      quantize_embedding(F.col(emb_col)).alias("qv"))
+              .collect())
+    if not q_rows:
+        raise ValueError("query_filter selected no rows")
+    q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.int64)
+    nq = (qm * qm).sum(axis=1)
+    n_q = len(q_ids)
+
+    def score(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            flat = (b.column(1).flatten()
+                    .to_numpy(zero_copy_only=False).astype(np.float64))
+            ev = np.floor(flat * 1000.0).astype(np.int64).reshape(n, -1)
+            dots = ev @ qm.T                      # (n, n_q) exact int64
+            ne = (ev * ev).sum(axis=1)
+            vec_id = np.repeat(ids.astype(np.int64), n_q)
+            qid = np.tile(q_ids, n)
+            keep = qid != vec_id
+            yield pa.record_batch(
+                [pa.array(qid[keep]), pa.array(vec_id[keep]),
+                 pa.array(dots.reshape(-1)[keep]),
+                 pa.array(np.tile(nq, n)[keep]),
+                 pa.array(np.repeat(ne, n_q)[keep])],
+                names=["q_id", "vec_id", "dot", "nq", "ne"])
+
+    scored = (df.select(F.col(id_col).cast("long").alias("vec_id"),
+                        F.col(emb_col))
+              .mapInArrow(score,
+                          "q_id long, vec_id long, dot long, "
+                          "nq long, ne long"))
+    cosine = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("nq").cast("double") * F.col("ne").cast("double")), 6)
+    out = scored.select("q_id", "vec_id", cosine.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (out.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
 def ann_ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -789,5 +887,6 @@ __all__ = ["minhash_signatures", "minhash_band_keys", "minhash_lsh_pairs",
            "jaccard_verify", "edit_distance_verify",
            "simhash16", "simhash64", "simhash_near_dups",
            "quantize_embedding", "embedding_lsh_buckets",
-           "embedding_near_dups", "ann_lsh_topk", "ann_ivf_topk",
+           "embedding_near_dups", "ann_lsh_topk", "ann_brute_topk",
+           "ann_ivf_topk",
            "dedup_components"]
