@@ -135,6 +135,27 @@ FROM (
 ) WHERE rn = 1
 """
 
+def _q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user as ONE aggregation pass:
+    max_by(struct(event_id, event_type), struct(ts, event_id)) — the
+    struct ordering (ts, then event_id) is exactly the oracle's
+    ROW_NUMBER ORDER BY ts DESC, event_id DESC tie rule, and the
+    partial max_by reduces each task to one row per user before the
+    exchange. The window formulation this replaced sorted every task's
+    full row set by (user, ts, event_id); the aggregate sorts by user
+    only (SortAggregate — max_by's struct buffer is not fixed-width)
+    and carries 3 columns. Measured 1.09s -> 0.77s at sf1.0."""
+    from pyspark.sql import functions as F
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    return (ev.groupBy(F.col("user_id").cast("long").alias("user_id"))
+            .agg(F.max_by(
+                F.struct(F.col("event_id").cast("long").alias("latest_event"),
+                         F.col("event_type").alias("latest_type")),
+                F.struct("ts", "event_id")).alias("m"))
+            .select("user_id", "m.latest_event", "m.latest_type"))
+
+
 _A5 = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -2149,7 +2170,7 @@ _REGISTRY: dict[str, tuple] = {
     "p6_validity_filter": _q(_P6),
     "a1_dedup_exact": (_docs_q(_q_dedup_exact), _A1),
     "a2_anti_join_unseen": (_q_unseen, _A2_DUCK),
-    "a3_latest_per_key": _q(_A3),
+    "a3_latest_per_key": (_q_a3, _A3),
     "a5_counters_rollup": _q(_A5),
     "a6_group_collect": _q(_A6_SPARK, _A6_DUCK),
     "j1_enrichment_join": _q(_J1_SPARK, _J1_DUCK),

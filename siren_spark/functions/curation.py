@@ -342,33 +342,69 @@ def tfidf_topk_terms(
     independent of partitioning (the driver's value-hash gate relies
     on this).
 
-    Plan shape at 100 TB: one (doc, term) groupBy with map-side
-    combine builds tf; df = COUNT(*) OVER (PARTITION BY term) on the tf
-    frame — tf rows are one per (doc, term), so the partition count IS
-    the document frequency, computed with ONE pass over the tokenize
-    pipeline (the earlier tf.groupBy(term) + equi-join formulation made
-    Catalyst plan the explode/aggregate subtree TWICE: column pruning
-    dropped the count from the df branch, the two exchanges stopped
-    being identical, and ReuseExchange could not fire — measured 2x the
-    tokenize cost); N rides in as a broadcast 1-row cross join (never a
-    driver ``.count()`` — the whole plan stays lazy); the per-doc top-k
-    is a row_number window partitioned by doc (WindowGroupLimit bounds
-    the exchange to top_k rows per doc per task). Every post-tokenize
-    shuffle carries one row per (doc, term) — never document text.
+    Plan shape at 100 TB: tf is computed DOC-LOCALLY — a document's
+    tokens all live in its own row, so the (doc, term) counts need no
+    shuffle at all; one ``mapInArrow`` pass tokenizes with
+    ``pyarrow.compute.split_pattern`` and counts with a vectorized
+    pandas groupby per batch (the JVM explode + (doc, term)
+    HashAggregate this replaced shuffled one row per (doc, term) and
+    owned the query cost). The tf frame then takes ONE hash(doc)
+    repartition that both consumers share: df reduces tf by term
+    (vocab-sized, Zipf-safe — the combiner collapses hot terms per
+    task before the tiny shuffle) and joins back as a BROADCAST, so
+    bulk data is never partitioned by term (a stopword term would own
+    a corpus-sized partition); the per-doc top-k window reuses the
+    same hash(doc) partitioning — no further exchange. N rides in as
+    a broadcast 1-row cross join (never a driver ``.count()`` — the
+    whole plan stays lazy).
+
+    The df aggregate deliberately references every tf column
+    (``WHEN SUM(tf) > 0 THEN COUNT(__doc)`` — tf >= 1, so the value IS
+    the row count): without it, column pruning narrows the df branch,
+    the two repartition exchanges stop being canonically identical,
+    and AQE's runtime exchange reuse cannot fire — the tokenize pass
+    would then run TWICE (measured 2x the query cost).
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
-    doc = F.col(id_col)
-    tok = (df.filter(F.length(text_col) > 0)
-           .select(doc.alias("__doc"),
-                   F.explode(F.split(F.col(text_col), " ")).alias("term"))
-           .filter(F.length("term") > 0))
-    tf = tok.groupBy("__doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    w_term = Window.partitionBy("term")
-    tfdf = tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+    import pyarrow as pa
+
+    from siren_spark.functions.similarity import _spread
+
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    # _spread: a single-file input otherwise pins the whole tokenize
+    # pass to one scan task (one parquet row group = one non-empty
+    # split); no-op at corpus scale where files >= cores
+    base = _spread(df.filter(F.length(text_col) > 0)).select(
+        F.col(id_col).alias("__doc"), F.col(text_col))
+
+    def tf_batches(batches):
+        import pandas as pd
+        import pyarrow.compute as pc
+        for b in batches:
+            ids, texts = b.column(0), b.column(1)
+            lists = pc.split_pattern(texts, " ")
+            flat = lists.flatten()
+            keep = pc.not_equal(flat, "")
+            doc_ids = ids.take(pc.list_parent_indices(lists)).filter(keep)
+            terms = flat.filter(keep)
+            g = (pd.DataFrame({"d": doc_ids.to_pandas(),
+                               "t": terms.to_pandas()})
+                 .groupby(["d", "t"], sort=False).size().reset_index())
+            yield pa.record_batch(
+                [pa.Array.from_pandas(g["d"], type=ids.type),
+                 pa.array(g["t"], type=pa.string()),
+                 pa.array(g[0].to_numpy(), type=pa.int64())],
+                names=["__doc", "term", "tf"])
+
+    tf = (base.mapInArrow(tf_batches,
+                          f"__doc {id_dtype}, term string, tf long")
+          .repartition("__doc"))
+    dfreq = tf.groupBy("term").agg(
+        F.when(F.sum("tf") > 0, F.count("__doc")).alias("df"))
     n = df.filter(F.length(text_col) > 0).select(
         F.count(F.lit(1)).alias("__n"))
-    scored = (tfdf
+    scored = (tf.join(F.broadcast(dfreq), "term")
               .crossJoin(F.broadcast(n))
               .select(F.col("__doc"),
                       "term",

@@ -74,51 +74,60 @@ def minhash_signatures(
     fewer than ``shingle_size`` tokens are dropped (no shingle exists;
     both SQL dialects agree on this rule).
 
-    Plan shape: explode shingle POSITIONS -> slice tokens -> hash ->
-    groupBy(id).agg(perms mins). The shingle string is built per
-    exploded row with one ``slice`` + ``concat_ws`` — measured 7x
-    faster than materializing a per-document shingle array first (the
-    array-of-concats construction dominated the old plan at 4.5 s per
-    260k shingles; building after the explode stays in one codegen
-    stage with no array allocation). Duplicate shingles are NOT
+    Plan shape: the whole shingle -> hash -> per-document min pipeline
+    is DOC-LOCAL — a document's shingles all live in its own row — so
+    it runs as one ``mapInArrow`` flat map with NO shuffle at all: per
+    document, hashlib's C md5 hashes each shingle (bit-identical to
+    the JVM/DuckDB ``md5``) and the per-slice minimum is tracked as a
+    plain string compare (all slices are fixed-width lowercase hex, so
+    lexicographic and numeric order agree). Duplicate shingles are NOT
     deduplicated: ``min`` is idempotent, so repeated shingles cannot
-    change any signature — dropping ``array_distinct`` removes a
-    per-document O(n^2) comparison loop. The shuffle carries only
-    (id, 8 BIGINTs); map-side partial mins make it combiner-friendly
-    at any corpus size.
-
-    The per-slice min runs on the slice's NUMERIC value
-    (``conv(hex, 16, 10)`` -> BIGINT): all slices are fixed-width
-    lowercase hex, so lexicographic and numeric order agree, and a
-    BIGINT min aggregates in a mutable fixed-width buffer —
-    whole-stage-codegen HashAggregate with map-side partial mins —
-    while ``min(string)`` falls back to SortAggregate, a full sort of
-    every exploded shingle row (measured: the sort owned the query).
-    The hex signature column contract is unchanged: values convert
-    back with ``lpad(lower(hex(m)), 8, '0')``.
+    change any signature. The JVM formulation this replaced exploded
+    one row per shingle and aggregated perms mins through a groupBy
+    exchange; the flat map removes the exchange and the per-row
+    expression overhead (measured ~2x on the LSH-pairs query).
     """
     assert 1 <= perms <= 16, "4 md5s provide 16 disjoint 8-hex slices"
+    import pyarrow as pa
+
     n_hashes = -(-perms // 4)   # each md5 hex digest = 4 slices of 8
-    toks = F.split(F.col(text_col), " ")
-    tk = (_spread(df).where(F.size(toks) >= shingle_size)
-          .select(F.col(id_col).alias("id"), toks.alias("__t"))
-          .select("id", "__t",
-                  F.explode(F.sequence(
-                      F.lit(0), F.size("__t") - shingle_size)).alias("__i"))
-          .select("id", F.concat_ws(" ", F.slice(
-              F.col("__t"), F.col("__i") + 1, shingle_size)).alias("s")))
-    hh = tk.select(
-        "id", F.concat(F.md5(F.col("s")),
-                       *[F.md5(F.concat(F.col("s"), F.lit("#" * k)))
-                         for k in range(1, n_hashes)]).alias("h"))
-    mins = hh.groupBy("id").agg(
-        *[F.min(F.conv(F.substring(F.col("h"), 1 + 8 * j, 8), 16, 10)
-                .cast("long")).alias(f"__n{j}")
-          for j in range(perms)])
-    return mins.select(
-        "id", *[F.lpad(F.lower(F.hex(F.col(f"__n{j}"))), 8, "0")
-                .alias(f"m{j}")
-                for j in range(perms)])
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    suffixes = ["#" * k for k in range(1, n_hashes)]
+    slices = [(j // 4, 8 * (j % 4)) for j in range(perms)]
+
+    def sigs(batches):
+        from hashlib import md5
+        for b in batches:
+            ids, texts = b.column(0), b.column(1)
+            out_ids, out_mins = [], [[] for _ in range(perms)]
+            for i, t in enumerate(texts.to_pylist()):
+                toks = (t or "").split(" ")
+                n_sh = len(toks) - shingle_size + 1
+                if n_sh < 1:
+                    continue
+                mins = [None] * perms
+                for s0 in range(n_sh):
+                    s = " ".join(toks[s0:s0 + shingle_size]).encode()
+                    hs = [md5(s).hexdigest()]
+                    hs += [md5(s + suf.encode()).hexdigest()
+                           for suf in suffixes]
+                    for j, (hi, off) in enumerate(slices):
+                        v = hs[hi][off:off + 8]
+                        if mins[j] is None or v < mins[j]:
+                            mins[j] = v
+                out_ids.append(i)
+                for j in range(perms):
+                    out_mins[j].append(mins[j])
+            yield pa.record_batch(
+                [ids.take(pa.array(out_ids, type=pa.int32()))]
+                + [pa.array(m, type=pa.string()) for m in out_mins],
+                names=["id"] + [f"m{j}" for j in range(perms)])
+
+    schema = ", ".join([f"id {id_dtype}"]
+                       + [f"m{j} string" for j in range(perms)])
+    return (_spread(df)
+            .select(F.col(id_col).alias("id"), F.col(text_col))
+            .mapInArrow(sigs, schema))
 
 
 def minhash_band_keys(
@@ -700,6 +709,9 @@ def ann_brute_topk(
                  pa.array(np.repeat(ne, n_q)[keep])],
                 names=["q_id", "vec_id", "dot", "nq", "ne"])
 
+    # no _spread here: repartitioning shuffles the embedding arrays
+    # themselves, and that costs more than the single-task Python pass
+    # saves (measured 0.40s -> 0.57s on a one-row-group input at sf1.0)
     scored = (df.select(F.col(id_col).cast("long").alias("vec_id"),
                         F.col(emb_col))
               .mapInArrow(score,
