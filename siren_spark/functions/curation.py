@@ -535,7 +535,7 @@ def inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 1,
-    max_df: int | None = None,
+    max_df: int | float | None = 0.5,
 ) -> DataFrame:
     """Build a term -> postings-list inverted index over the corpus.
 
@@ -547,13 +547,27 @@ def inverted_index(
     skew hazard at 100 TB (a term in every document is a posting list
     the size of the corpus — cap it, the term carries no signal).
 
+    ``max_df`` accepts an absolute document count (int) or a corpus
+    fraction (float in (0, 1]); the skew guard is ON BY DEFAULT at
+    half the corpus (``max_df=0.5``) — a term in more than half of all
+    documents collects a corpus-sized posting list into one aggregate
+    row, so opting OUT (``max_df=None``) is the explicit choice, not
+    the silent default. The fractional threshold rides in as a
+    broadcast one-row count frame, never a driver action.
+
     Postings are emitted as a comma-joined string of sorted doc ids so
     the output is flat, totally ordered, and hashable cross-engine.
 
     Scale: explode(distinct tokens) is a flat map; the single shuffle
     groups by term with partial aggregation on count; collect_list is
-    bounded by max_df when set.
+    bounded by max_df when set. NOTE: the cap filters AFTER the
+    per-term aggregation (df is not known earlier), so one stopword
+    row is still built before being dropped; at true corpus scale
+    pre-filter known stopwords upstream if even that is too hot.
     """
+    if isinstance(max_df, float) and not 0.0 < max_df <= 1.0:
+        raise ValueError(
+            f"fractional max_df must be in (0, 1], got {max_df}")
     toks = (df.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.explode(
                           F.array_distinct(F.split(F.col(text_col), " ")))
@@ -566,7 +580,12 @@ def inverted_index(
                                 lambda x: x.cast("string")), ",")
                 .alias("postings"))
            .where(F.col("df") >= min_df))
-    if max_df is not None:
+    if isinstance(max_df, float):
+        n = df.agg(F.count(F.lit(1)).alias("__n"))
+        out = (out.crossJoin(F.broadcast(n))
+               .where(F.col("df") <= F.col("__n") * max_df)
+               .drop("__n"))
+    elif max_df is not None:
         out = out.where(F.col("df") <= max_df)
     return out
 
@@ -796,9 +815,12 @@ def dedup_lines_global(
     Reassembly is one groupBy(doc) whose state is bounded by the
     largest single document — the same bound the input row itself pays.
     """
+    # coalesce NULL text to '': split(NULL) is NULL and posexplode
+    # would eliminate the row entirely, silently breaking the
+    # one-row-out-per-row-in contract for NULL-text documents
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n"))
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
         .alias("__pos", "__line"))
     digested = lines.withColumn("__h", F.md5("__line"))
     dup = (digested

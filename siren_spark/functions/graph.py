@@ -269,15 +269,22 @@ def detect_mirror_hosts(
     Scale: content collapses to md5 digests and (host, digest) pairs
     are made DISTINCT before anything wide — document bytes never
     shuffle. The quadratic hazard is a fingerprint present on MANY
-    hosts (empty pages, parking templates): a host appearing on
+    hosts (empty pages, parking templates): a fingerprint appearing on
     > ``fp_host_cap`` hosts generates cap^2 pairs and carries no
     mirror signal, so such fingerprints are dropped before the
     self-join (the high-frequency-shingle cutoff from the same paper).
     With the cap, the pair fan-out per fingerprint is bounded and the
-    self-join is a plain digest equi-join — never host x host.
+    self-join is a plain digest equi-join — never host x host. Note
+    the per-host sizes n_a/n_b COUNT capped fingerprints while
+    n_shared EXCLUDES them, so overlap_milli is understated for hosts
+    dominated by capped (template) content — deliberate: template
+    overlap is not mirror signal, but host size is still host size.
+    NULL documents are dropped up front: a NULL fingerprint can never
+    equi-join, so counting it in n_a/n_b would only deflate overlap.
     """
-    fp = (df.select(F.col(host_col).alias("host"),
-                    F.md5(F.col(text_col)).alias("__fp"))
+    fp = (df.where(F.col(text_col).isNotNull())
+          .select(F.col(host_col).alias("host"),
+                  F.md5(F.col(text_col)).alias("__fp"))
           .distinct())
     sizes = (fp.groupBy("host")
              .agg(F.count("*").cast("long").alias("__n")))

@@ -19,10 +19,18 @@ reference corpus; (total, V) are two scalars — the one driver-side
 collect, i.e. the model artifact itself. Scoring is explode →
 vocab join (broadcast by default: char-trigram vocab is bounded by
 charset³, ~10⁵ for text; shuffle-join opt-out for byte-level or
-CJK-heavy vocabs) → one per-doc combiner groupBy. Bucketing is a
-global ntile — a total sort of one small (doc_id, score) row per
-doc, the only whole-corpus step, same cost class as any percentile
-cut.
+CJK-heavy vocabs) → one per-doc combiner groupBy. Bucketing is an
+EXACT distributed ntile: a no-partition ``Window.orderBy`` would
+funnel every (doc_id, score) row through ONE task's sort, so the
+global rank is computed with the same value-bucket prefix-sum trick
+as ``curation.mix_by_token_budget`` — ``floor(nll_per_gram)`` is
+monotone in the sort key, so per-bucket counts (a tiny combiner
+groupBy) windowed into running offsets plus an in-bucket rank give
+the exact global rank, and ntile's quotient arithmetic maps rank to
+bucket. No stage touches more than one value-bucket's rows; the
+offsets/total frames are broadcast (bounded by the distinct
+floor(nll) values, itself bounded by the milli-nat range of the
+smoothed model).
 """
 
 from __future__ import annotations
@@ -98,12 +106,61 @@ def score_char_trigram_nll(
                    F.count(F.lit(1)).alias("n_grams")))
     per = F.round(F.col("nll_milli").cast("double")
                   / F.col("n_grams"), 4)
-    win = Window.orderBy(F.asc("nll_per_gram"), F.asc(id_col))
-    return (scored.select(F.col("__doc").alias(id_col),
-                          F.col("n_grams"),
-                          F.col("nll_milli"),
-                          per.alias("nll_per_gram"))
-            .withColumn("bucket", F.ntile(buckets).over(win)))
+    scored = scored.select(F.col("__doc").alias(id_col),
+                           F.col("n_grams"),
+                           F.col("nll_milli"),
+                           per.alias("nll_per_gram"))
+    return _ntile_distributed(scored, buckets, order_cols=["nll_per_gram",
+                                                           id_col])
+
+
+def _ntile_distributed(df: DataFrame, buckets: int,
+                       *, order_cols: list[str],
+                       out_col: str = "bucket") -> DataFrame:
+    """``ntile(buckets) OVER (ORDER BY order_cols)`` without the
+    single-task global sort (bit-identical output).
+
+    The leading order column must be numeric; ``floor`` of it is used
+    as a coarse bucket that is monotone in the total order, so the
+    exact global rank of a row = (rows in earlier value-buckets,
+    via a running-offset window over the TINY per-bucket count frame)
+    + (its rank within its own bucket, a per-bucket window). ntile's
+    arithmetic — the first ``N % n`` tiles get ``ceil(N/n)`` rows, the
+    rest ``floor(N/n)`` — then maps rank to tile exactly:
+    rank <= (q+1)*r  ->  tile = ceil(rank / (q+1)),
+    otherwise        ->  tile = r + ceil((rank - r*(q+1)) / q)
+    with q = N div n, r = N mod n. Every stage is parallel: no
+    no-partition window, no collect, no sampling pass.
+    """
+    lead = order_cols[0]
+    b = df.withColumn("__vb", F.floor(F.col(lead)).cast("long"))
+    per_bucket = b.groupBy("__vb").agg(F.count(F.lit(1)).alias("__c"))
+    # running offset over the per-bucket COUNT frame only — a
+    # no-partition window, but its input is the tiny aggregate (one row
+    # per distinct floor(lead) value), never the corpus rows
+    w_off = (Window.orderBy("__vb")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(w_off), F.lit(0))).select(
+        "__vb", "__off")
+    total = per_bucket.agg(F.sum("__c").alias("__N"))
+    w_local = Window.partitionBy("__vb").orderBy(
+        *[F.asc(c) for c in order_cols])
+    # all-BIGINT tile arithmetic (a double ceil(rank/size) mis-rounds
+    # once ranks pass ~2^40: 1/size slips below half an ulp):
+    # ceil(a/b) == (a + b - 1) div b for positive ints
+    tile = F.expr(
+        f"CASE WHEN __rank <= (__q + 1) * __r"
+        f" THEN (__rank + __q) DIV (__q + 1)"
+        f" ELSE __r + (__rank - (__q + 1) * __r + __q - 1) DIV __q END")
+    return (b.join(F.broadcast(offsets), "__vb")
+            .crossJoin(F.broadcast(total))
+            .withColumn("__rank",
+                        F.col("__off") + F.row_number().over(w_local))
+            .withColumn("__q", F.expr(f"__N div {int(buckets)}"))
+            .withColumn("__r", F.col("__N") % F.lit(int(buckets)))
+            .withColumn(out_col, tile.cast("int"))
+            .drop("__vb", "__off", "__N", "__rank", "__q", "__r"))
 
 
 __all__ = ["train_char_trigram_lm", "score_char_trigram_nll"]

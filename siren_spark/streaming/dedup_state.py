@@ -15,10 +15,13 @@ output.
 Semantics contract: the winner is the FIRST ARRIVAL — within a
 micro-batch ties are broken by ``id_col`` (sorted, so in-batch order
 is deterministic), across micro-batches the earlier batch wins by
-construction. Over a single availableNow drain this equals the batch
-dedup's min-id winner; over a live stream it is arrival order, which
-is the semantics a crawl actually wants (the first fetch wins, later
-mirrors are the duplicates).
+construction. Over an availableNow drain whose duplicates all land in
+ONE micro-batch this equals the batch dedup's min-id winner; when a
+drain splits into several micro-batches (e.g. maxFilesPerTrigger), a
+fingerprint first seen in an earlier batch wins regardless of id —
+i.e. cross-batch semantics are arrival order, min-id only within a
+batch. Over a live stream that arrival order is exactly what a crawl
+wants (the first fetch wins, later mirrors are the duplicates).
 
 Scale: state is one long per DISTINCT document — the streaming analog
 of the batch URL-seen Bloom (operators/seen.py), exact instead of

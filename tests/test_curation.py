@@ -412,7 +412,8 @@ def test_inverted_index_postings_sorted_and_distinct(spark):
     docs = spark.createDataFrame(
         [(5, "a b a"), (2, "b c"), (9, "b  c"), (1, "")],
         ["doc_id", "text"])
-    out = {r.term: r for r in inverted_index(docs).collect()}
+    # max_df=None: this test pins postings mechanics, not the skew guard
+    out = {r.term: r for r in inverted_index(docs, max_df=None).collect()}
     # duplicate token within a doc counts once; postings sorted asc
     assert out["a"].df == 1 and out["a"].postings == "5"
     assert out["b"].df == 3 and out["b"].postings == "2,5,9"
@@ -433,6 +434,29 @@ def test_inverted_index_df_bounds(spark):
     out2 = {r.term: r.df for r in
             inverted_index(docs, min_df=1, max_df=10).collect()}
     assert out2 == {"stop": 10, "rare": 1}
+
+
+def test_inverted_index_default_caps_corpus_wide_terms(spark):
+    """The stopword skew guard is ON by default: a term present in
+    every document (a corpus-sized posting list at scale) is dropped
+    at the default max_df=0.5 corpus fraction, while ordinary terms
+    survive; opting out requires an explicit max_df=None."""
+    import pytest
+    from siren_spark.functions.curation import inverted_index
+    docs = spark.createDataFrame(
+        [(i, f"everywhere word{i}") for i in range(8)],
+        ["doc_id", "text"])
+    out = {r.term: r.df for r in inverted_index(docs).collect()}
+    assert "everywhere" not in out          # df=8 > 0.5*8
+    assert out["word3"] == 1                # rare terms unaffected
+    full = {r.term: r.df
+            for r in inverted_index(docs, max_df=None).collect()}
+    assert full["everywhere"] == 8          # explicit opt-out keeps it
+    frac = {r.term: r.df
+            for r in inverted_index(docs, max_df=1.0).collect()}
+    assert frac["everywhere"] == 8          # df == N passes at 1.0
+    with pytest.raises(ValueError):
+        inverted_index(docs, max_df=1.5)
 
 
 def test_inverted_index_partition_independent(spark, docs):

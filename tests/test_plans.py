@@ -278,7 +278,8 @@ def test_round5_ops_plan_shape(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
 
-    for name, df in (("inverted_index", inverted_index(docs)),
+    for name, df in (("inverted_index", inverted_index(docs,
+                                                       max_df=None)),
                      ("length_quantiles", length_quantiles(docs))):
         p = _plan(df)
         # explain("formatted") splits the node name and its arguments:
@@ -286,6 +287,16 @@ def test_round5_ops_plan_shape(spark):
         n_ex = len(re.findall(r"\(\d+\) Exchange", p))
         assert n_ex == 1, (name, n_ex, p)
         assert "CartesianProduct" not in p, name
+
+    # default skew guard (max_df=0.5 corpus fraction): the threshold
+    # rides in as a broadcast one-row count — the postings groupBy is
+    # still the only hashpartitioning exchange (the extra exchange is
+    # the count's SinglePartition gather), and the corpus is never
+    # cartesian-joined
+    p = _plan(inverted_index(docs))
+    hash_ex = len(re.findall(r"hashpartitioning", p))
+    assert hash_ex == 1, (hash_ex, p)
+    assert "CartesianProduct" not in p, p
 
     pairs = docs.select(F.col("doc_id").alias("doc_a"),
                         (F.col("doc_id") + 1).alias("doc_b"))

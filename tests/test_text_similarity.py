@@ -646,6 +646,64 @@ def test_lm_validates(spark):
         score_char_trigram_nll(ok, w, oov, buckets=0)
 
 
+def test_lm_distributed_ntile_matches_window_ntile(spark):
+    """_ntile_distributed is bit-identical to the no-partition
+    ``ntile(n) OVER (ORDER BY v, id)`` it replaced, across bucket
+    counts, tie runs, and N % n remainders — but with every stage
+    parallel (the global single-task sort was the round-5 verdict's
+    scale-killer #3)."""
+    import random
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from siren_spark.functions.lm import _ntile_distributed
+    rng = random.Random(7)
+    # values straddle several floor() buckets and include tie runs
+    rows = [(i, round(rng.uniform(0.0, 5.0), 1)) for i in range(97)]
+    df = spark.createDataFrame(rows, ["doc_id", "nll_per_gram"])
+    for n in (1, 2, 3, 7, 96, 97, 200):
+        want = {r.doc_id: r.b for r in df.withColumn(
+            "b", F.ntile(n).over(
+                Window.orderBy(F.asc("nll_per_gram"),
+                               F.asc("doc_id")))).collect()}
+        got = {r.doc_id: r.bucket for r in _ntile_distributed(
+            df.repartition(13), n,
+            order_cols=["nll_per_gram", "doc_id"]).collect()}
+        assert got == want, n
+
+
+def test_lm_bucket_plan_has_no_bulk_global_window(spark, docs):
+    """The scored (per-doc) rows must never pass through a
+    no-partition Window: the only partition-less window allowed is the
+    running-offset one over the tiny per-value-bucket COUNT frame
+    (its subtree aggregates before the window). The bulk rank window
+    is partitioned by the value bucket."""
+    import re
+    from pyspark.sql import functions as F
+    from siren_spark.functions.lm import (score_char_trigram_nll,
+                                          train_char_trigram_lm)
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    w, oov = train_char_trigram_lm(ref)
+    plan = score_char_trigram_nll(docs, w, oov)._sc._jvm \
+        .PythonSQLUtils.explainString(
+            score_char_trigram_nll(docs, w, oov)._jdf.queryExecution(),
+            "formatted")
+    # formatted Window node prints Arguments: [fns], [partition],
+    # [order] when partitioned and only [fns], [order] when not
+    specs = []
+    for m in re.finditer(r"\(\d+\) Window\n", plan):
+        seg = plan[m.end():]
+        arg_line = next(ln for ln in seg.splitlines()
+                        if ln.startswith("Arguments:"))
+        specs.append(arg_line.split("], ["))
+    assert specs, plan
+    partitionless = [s for s in specs if len(s) == 2]
+    partitioned = [s for s in specs if len(s) == 3]
+    # exactly one partition-less window (the per-bucket offsets) ...
+    assert len(partitionless) == 1, plan
+    # ... and the bulk rank window is partitioned (by the value bucket)
+    assert any("__vb" in s[1] for s in partitioned), plan
+
+
 # ------------------------------------------------------- edit-distance verify
 
 def _lev(a: str, b: str) -> int:
