@@ -355,6 +355,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
+    seg_hashes: int = 4096,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003 — the MOSS algorithm).
@@ -380,31 +381,68 @@ def winnow_fingerprints(
     whole-stage codegen (one projection, no UDF, no shuffle, no
     explode until the final flat fan-out); cost O(len * w) per doc,
     output ~2/(w+1) rows per char. The fingerprint table is what
-    shuffles — 8-char slices + position, never document bytes.
+    shuffles — 8-char slices + position, never document bytes. The
+    per-row TRANSIENT is bounded too: a naive formulation would
+    materialize one 8-hex-char hash per text position in a single
+    array (~20x blow-up on a 100 KB page); instead the window-start
+    space is processed in segments of ``seg_hashes`` windows, each
+    segment binding only its own hash slice (segment + w - 1 hashes,
+    re-hashing the w-1 overlap) — EXACTLY the same selections, since
+    every window's w hashes live inside its segment's slice and the
+    final row-local array_distinct is global across segments. Docs
+    within one segment take the identical single-segment path.
     """
-    assert k >= 1 and w >= 1
-    hashes = F.expr(
-        f"transform(sequence(1, length({text_col}) - {k} + 1), "
-        f"i -> substring(md5(substring({text_col}, i, {k})), 1, 8))")
+    assert k >= 1 and w >= 1 and seg_hashes >= w
+    s = int(seg_hashes)
+    t, kk = text_col, int(k)
+    # window count Wn = H - we + 1 where H = hash count, we = min(w, H)
     base = (df.where(F.length(text_col) >= k)
-            .select(F.col(id_col), hashes.alias("__h"))
-            .withColumn("__we", F.least(F.lit(w), F.size("__h"))))
-    # rightmost argmin per window, as in the paper; array_distinct is
-    # row-local so repeated selections collapse without a shuffle
-    sel = F.expr("""
-        array_distinct(transform(
-          sequence(1, size(__h) - __we + 1),
-          j -> named_struct(
-            'pos', CAST(j - 1 + array_max(transform(
-                     sequence(1, __we),
-                     i -> IF(element_at(__h, j + i - 1) =
-                             array_min(slice(__h, j, __we)), i, 0)))
-                   AS BIGINT),
-            'fp', array_min(slice(__h, j, __we)))))""")
+            .select(F.col(id_col), F.col(text_col))
+            .withColumn("__H", (F.length(t) - kk + 1).cast("int"))
+            .withColumn("__we", F.least(F.lit(int(w)), F.col("__H")))
+            .withColumn("__Wn", F.col("__H") - F.col("__we") + 1))
+    # per segment tseg: windows tseg*s+1 .. tseg*s+cnt (cnt <= s), which
+    # only read hashes tseg*s+1 .. tseg*s+cnt+we-1 — that slice is bound
+    # ONCE per segment via the single-element-transform trick (SQL
+    # lambdas have no let); global pos/j arithmetic restores the
+    # original coordinates, so the output is bit-identical at any s.
+    # Selections are encoded 'pos:fp' STRINGS, not structs: Spark's
+    # array_distinct hash-sets atomic types (linear) but falls back to
+    # pairwise comparison for structs — O(windows^2) per row, measured
+    # as the actual scale-killer on long docs. Each segment dedups its
+    # own selections (bounding the flattened size to ~2/(w+1) density)
+    # and the outer distinct removes only cross-segment repeats, which
+    # composes to exactly one global set-distinct.
+    # the segment's character span is ALSO bound once (st): substring
+    # on a long string is O(offset) — a char-offset scan — so hashing
+    # k-grams straight off the full text is O(len^2) per doc; off the
+    # bounded segment string every k-gram substring is O(seg)
+    sel = F.expr(f"""
+        array_distinct(flatten(transform(
+          sequence(0, CAST(ceil(__Wn / CAST({s} AS DOUBLE)) AS INT) - 1),
+          tseg -> element_at(transform(
+            array(substring({t}, tseg * {s} + 1,
+                            least(tseg * {s} + {s}, __Wn) + __we - 1
+                            - tseg * {s} + {kk} - 1)),
+            st -> element_at(transform(
+              array(transform(
+                sequence(1, least(tseg * {s} + {s}, __Wn) + __we - 1
+                            - tseg * {s}),
+                i -> substring(md5(substring(st, i, {kk})), 1, 8))),
+              hs -> array_distinct(transform(
+                sequence(1, least({s}, __Wn - tseg * {s})),
+                jl -> concat(
+                  CAST(tseg * {s} + jl - 1 + array_max(transform(
+                         sequence(1, __we),
+                         i -> IF(element_at(hs, jl + i - 1) =
+                                 array_min(slice(hs, jl, __we)), i, 0)))
+                       AS STRING),
+                  ':', array_min(slice(hs, jl, __we)))))), 1)), 1))))""")
     return (base.select(F.col(id_col), F.explode(sel).alias("__s"))
             .select(F.col(id_col),
-                    F.col("__s.pos").alias("pos"),
-                    F.col("__s.fp").alias("fp")))
+                    F.split("__s", ":").getItem(0).cast("long")
+                    .alias("pos"),
+                    F.split("__s", ":").getItem(1).alias("fp")))
 
 
 def winnow_candidate_pairs(
