@@ -678,6 +678,28 @@ class CrawlResult:
     round_urls: list[int] | None = None        # scheduled+extracted per round
 
 
+def _frontier_after(spark: SparkSession, store: CheckpointStore,
+                    gen: int) -> DataFrame:
+    """Round ``gen + 1``'s frontier from round ``gen``'s committed
+    tables: discovered links (extracted, kind='link', with the loop's
+    deterministic priority/depth for that generation) + deferred rows
+    (frontier_ann). Checkpoints written before the dedicated frontier
+    table was dropped still carry one — prefer it (cheaper and exact
+    for however that round was built)."""
+    m = store.manifest(gen)
+    if "frontier" in m["tables"]:
+        return spark.read.parquet(m["tables"]["frontier"])
+    ex = spark.read.parquet(m["tables"]["extracted"])
+    ann = spark.read.parquet(m["tables"]["frontier_ann"])
+    links = (ex.filter(F.col("kind") == "link")
+             .select("url", "url_canon", "meta", "via", "domain")
+             .withColumn("priority", F.lit(round(1.0 / (gen + 2), 6)))
+             .withColumn("depth", F.lit(gen + 1))
+             .select(*FRONTIER_COLS))
+    return links.unionByName(
+        ann.filter(F.col("status") == "deferred").select(*FRONTIER_COLS))
+
+
 def _seen_df(spark: SparkSession, sources: list[dict]) -> DataFrame | None:
     """The exact seen set (attempted = seen, ht.py:242-247) from an
     incremental source list: 'ann' entries are per-round annotated
@@ -800,11 +822,14 @@ def _round_counters(ann_r: DataFrame, ex: DataFrame, gen: int,
     (domain, metric) and lives in the round's checkpoint, while the
     manifest JSON keeps only whole-round rollups.
 
-    Domains for extracted page/error rows come from a JVM-side join
-    against the annotated frontier (every fetched url IS a scheduled
-    url) — no Python-UDF node over the extraction output. The two tiny
-    aggregated frames are persisted so the three-way union does not
-    recompute their scans.
+    Domains for extracted page/error/record rows were computed inside
+    the extraction kernel (the URL is in Python there anyway), so this
+    is two pure column-pruned aggregations — no join of the extraction
+    output back to the annotated frontier (that equi-join re-shuffled
+    ~1M rows per round into the derived-writes window, a fixed
+    per-round term the N->4N comparison pays at every cluster size).
+    The two tiny aggregated frames are persisted so the three-way
+    union does not recompute their scans.
     """
     metric_map = F.create_map(
         *[F.lit(x) for kv in _METRIC_OF_STATUS.items() for x in kv])
@@ -812,11 +837,8 @@ def _round_counters(ann_r: DataFrame, ex: DataFrame, gen: int,
                .agg(F.count(F.lit(1)).alias("n"))
                .select("domain", metric_map[F.col("status")].alias("metric"),
                        "n")).persist()
-    sched_dom = (ann_r.filter(F.col("status") == "scheduled")
-                 .select("url", "domain"))
     exd = (ex.filter(F.col("kind").isin("page", "error", "record"))
-           .select("url", "kind")
-           .join(sched_dom, "url", "left")
+           .select("domain", "kind")
            .groupBy("domain", "kind").agg(F.count(F.lit(1)).alias("n"))
            ).persist()
     if cache_registry is not None:
@@ -899,7 +921,7 @@ def run_crawl(
     hl_sources: list[dict] = []
     if resume and (last := store.latest_gen()) is not None:
         start_gen = last + 1
-        frontier = store.read(spark, last, "frontier")
+        frontier = _frontier_after(spark, store, last)
         seen_sources = _seen_sources_at(store, last)
         seen_exact = _seen_df(spark, seen_sources)
         if cfg.headline_dedup_scope == "run":
@@ -1164,9 +1186,14 @@ def run_crawl(
                          f"failed ({e!r}); will annotate inline")
                     return None
 
+            # NO dedicated "frontier" table: its content is exactly
+            # links(extracted) + deferred(frontier_ann) — both already
+            # committed this round — so writing it again was a fully
+            # redundant ~frontier-sized parquet job in every round's
+            # derived-writes window (resume reconstructs the same frame
+            # from the committed tables, _frontier_after)
             futs = {name: pool.submit(store.stage_table, gen, name, df)
-                    for name, df in (("frontier", next_frontier),
-                                     ("results", results_round),
+                    for name, df in (("results", results_round),
                                      ("counters", counters_df))}
             # seen/headline compactions fold into the same overlap window
             # (previously serial staging steps after the writes — ~1 s of
@@ -1215,7 +1242,7 @@ def run_crawl(
             # set; compacted every seen_compact_every rounds so reads stay
             # O(1)-table (amortized O(1) per round, staged concurrently
             # above)
-            staged_tables = ["frontier_ann", "extracted", "frontier", "results",
+            staged_tables = ["frontier_ann", "extracted", "results",
                              "counters"]
             if compact_fut is not None:
                 compact_path = compact_fut.result()
@@ -1249,8 +1276,12 @@ def run_crawl(
             store.write_round(
                 gen, {}, stats=stats,
                 staged={n: f"{store._gen_dir(gen)}/{n}" for n in staged_tables})
-            # roll forward from committed state
-            frontier = store.read(spark, gen, "frontier")
+            # roll forward from committed state: next_frontier reads
+            # only this round's committed staged parquet (extracted +
+            # frontier_ann), so it IS durable state — no re-listing of
+            # anything, no dedicated frontier table (see _frontier_after
+            # for the identical resume-time reconstruction)
+            frontier = next_frontier
             seen_exact = _seen_df(spark, seen_sources)
             if bloom_fut is not None:
                 # the delta filter was built concurrently with fetch+extract;

@@ -383,6 +383,79 @@ def duplicate_span_stats(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_map(df: DataFrame, id_col: str, text_col: str,
+                 n_hex: int, n_bits: int, out_fn) -> DataFrame:
+    """Shared doc-local simhash kernel: one ``mapInArrow`` flat map.
+
+    A document's simhash depends only on its own distinct tokens, so
+    the old explode -> md5 -> groupBy(doc) pipeline shuffled one row
+    per (doc, token) only to reassemble rows that never needed to come
+    apart. This computes the ±1 bit sums per document in NumPy with NO
+    shuffle at all; a per-task token -> bit-vector memo removes
+    repeated md5/bit-expansion for the (Zipf-repetitive) vocabulary.
+    Bit maths replicate the JVM/oracle exactly: h = the integer of the
+    token md5's first ``n_hex`` hex chars, bit i of h contributes +1
+    iff h & (1 << i), ties (sum == 0) are 0-bits; callers map h's bit
+    indices onto their output words. ``out_fn(sums) -> list of output
+    column arrays`` packs the per-doc sums; empty-string tokens hash
+    like any other (split semantics), NULL text drops the row
+    (explode-of-null semantics).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n_out = len(out_fn(np.zeros((0, n_bits), dtype=np.int64)))
+    names = ["doc_id"] + [f"c{j}" for j in range(n_out)]
+
+    def batches_fn(batches):
+        from hashlib import md5
+
+        import pyarrow.compute as pc
+        memo: dict[str, object] = {}
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        for b in batches:
+            ids, texts = b.column(0), b.column(1)
+            out_ids, out_sums = [], []
+            for i, t in enumerate(texts.to_pylist()):
+                if t is None:
+                    continue
+                acc = np.zeros(n_bits, dtype=np.int64)
+                for tok in set(t.split(" ")):
+                    v = memo.get(tok)
+                    if v is None:
+                        h = int(md5(tok.encode()).hexdigest()[:n_hex], 16)
+                        v = (((h >> shifts) & 1) * 2 - 1).astype(np.int64)
+                        if len(memo) < (1 << 20):
+                            memo[tok] = v
+                    acc += v
+                out_ids.append(i)
+                out_sums.append(acc)
+            sums = (np.array(out_sums) if out_sums
+                    else np.zeros((0, n_bits), dtype=np.int64))
+            yield pa.record_batch(
+                [pc.cast(ids.take(pa.array(out_ids, type=pa.int32())),
+                         pa.int64())] + out_fn(sums),
+                names=names)
+
+    schema = ", ".join(["doc_id long"]
+                       + [f"c{j} long" for j in range(n_out)])
+    return (_spread(df)
+            .select(F.col(id_col), F.col(text_col))
+            .mapInArrow(batches_fn, schema))
+
+
+def _pack_bits(sums, lo: int, hi: int):
+    """Unsigned value from sign bits lo..hi-1 of the per-doc sum rows."""
+    import numpy as np
+    weights = (np.uint64(1) << np.arange(hi - lo, dtype=np.uint64))
+    return pa_int64((sums[:, lo:hi] > 0) @ weights.astype(np.int64))
+
+
+def pa_int64(arr):
+    import pyarrow as pa
+    return pa.array(arr.astype("int64"), type=pa.int64())
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """(doc_id, simhash16): 16-bit parity simhash over distinct tokens.
@@ -390,30 +463,16 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
     Kept for oracle parity and tiny corpora; 16 bits saturate around
     10^5 documents — use :func:`simhash64` beyond that.
 
-    Same one-groupBy shape as :func:`simhash64`: 16 conditional sums
-    per token row, combiner-friendly, no per-bit explode (the old
-    explode(0..15) amplified every token occurrence 16x and paid a
-    second exchange on (doc_id, bit); bit tests via ``bitwiseAND``
-    instead of ``floor(h / pow(2, i)) % 2`` — identical parity for
-    h < 2^32, all-integer).
+    Doc-local ``mapInArrow`` pass (see :func:`_simhash_map`) — no
+    shuffle; the JVM 16-conditional-sum groupBy formulation this
+    replaced paid a (doc, token)-row exchange for math each doc can do
+    alone. Bit parity identical: h is the uint32 of md5 hex chars 1-8
+    and bits 0..15 (its LOW half) are tested, exactly the old
+    ``h & (1 << i)``.
     """
-    tok = (_spread(df).select(F.col(id_col).alias("doc_id"),
-                              F.explode(F.array_distinct(
-                                  F.split(F.col(text_col), " "))).alias("tok")))
-    th = tok.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
-        .cast("long").alias("h"))
-    sums = th.groupBy("doc_id").agg(
-        *[F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)
-                .otherwise(-1)).alias(f"s{i}")
-          for i in range(16)])
-    val = F.lit(0).cast("long")
-    for i in range(16):
-        val = val + F.when(F.col(f"s{i}") > 0,
-                           F.lit(1 << i).cast("long")).otherwise(0)
-    return sums.select(F.col("doc_id").cast("long").alias("doc_id"),
-                       val.cast("long").alias("simhash16"))
+    out = _simhash_map(df, id_col, text_col, 8, 16,
+                       lambda s: [_pack_bits(s, 0, 16)])
+    return out.select("doc_id", F.col("c0").alias("simhash16"))
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
@@ -423,36 +482,17 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     Two unsigned-32 halves avoid signed-BIGINT overflow at bit 63 in
     both Spark and DuckDB. Hash source: md5 hex slices (chars 1-8 ->
     low half bits, 9-16 -> high half bits), so the oracle can replicate
-    bit-for-bit. One groupBy with 64 conditional sums — no per-bit
-    explode, combiner-friendly.
+    bit-for-bit. Same doc-local ``mapInArrow`` shape as
+    :func:`simhash16` — no shuffle, per-task token memo. h here is the
+    integer of the first 16 hex chars, so h's HIGH word (bits 32..63)
+    is hlo (chars 1-8 -> sim_lo) and its LOW word (bits 0..31) is hhi
+    (chars 9-16 -> sim_hi).
     """
-    tok = (_spread(df).select(F.col(id_col).alias("doc_id"),
-                              F.explode(F.array_distinct(
-                                  F.split(F.col(text_col), " "))).alias("tok")))
-    th = tok.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
-        .cast("long").alias("hlo"),
-        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
-        .cast("long").alias("hhi"))
-
-    def bit_sum(src: str, i: int) -> Column:
-        return F.sum(F.when(
-            F.col(src).bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1))
-
-    aggs = ([bit_sum("hlo", i).alias(f"s{i}") for i in range(32)]
-            + [bit_sum("hhi", i).alias(f"s{i + 32}") for i in range(32)])
-    sums = th.groupBy("doc_id").agg(*aggs)
-
-    def half(lo_bit: int) -> Column:
-        out = F.lit(0).cast("long")
-        for i in range(32):
-            out = out + F.when(F.col(f"s{lo_bit + i}") > 0,
-                               F.lit(1 << i).cast("long")).otherwise(0)
-        return out
-
-    return sums.select(F.col("doc_id").cast("long").alias("doc_id"),
-                       half(32).alias("sim_hi"), half(0).alias("sim_lo"))
+    out = _simhash_map(df, id_col, text_col, 16, 64,
+                       lambda s: [_pack_bits(s, 0, 32),
+                                  _pack_bits(s, 32, 64)])
+    return out.select("doc_id", F.col("c0").alias("sim_hi"),
+                      F.col("c1").alias("sim_lo"))
 
 
 def simhash_near_dups(

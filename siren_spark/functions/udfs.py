@@ -41,12 +41,17 @@ def domain_udf(urls: pd.Series) -> pd.Series:
 
 
 # Union output of link discovery + record extraction. kind: 'link'|'record'.
-# url_canon/domain are populated for link rows only: the kernel pass
-# already holds every discovered URL as a Python string, so computing
-# the canonical key + registrable domain here is marginal work — while
+# url_canon/domain are populated for link rows; page/error/record rows
+# additionally carry ``domain`` (registrable domain of the row's own
+# url — registrable_domain lowercases/normalizes the host itself, so
+# this equals the frontier's canonical-derived domain without paying a
+# canonicalize per page). The kernel pass already holds each URL as a
+# Python string, so computing these here is marginal work — while
 # deriving them downstream would schedule a second pandas-UDF job over
 # the staged extraction output every round (measured ~6 s/round at
-# bench scale, a pure serial add-on to the N->4N comparison).
+# bench scale), and per-domain counters can read this table directly
+# instead of equi-joining every extraction row back to the annotated
+# frontier (a ~1M-row/round shuffle in the derived-writes window).
 EXTRACT_SCHEMA = StructType([
     StructField("kind", StringType()),
     StructField("url", StringType()),
@@ -89,21 +94,26 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for url, html, meta in zip(pdf["url"], pdf["html"], pdf["meta"]):
             payload = bytes(html).decode("utf-8", errors="replace") if html is not None else ""
             res = parse_page(url, payload, dict(meta) if meta is not None else {})
+            page_dom = registrable_domain(url)
             # one marker row per fetched page: lets callers derive
             # hit/miss/error counts from this output alone (no second
             # pass over the fetch join)
-            emit("page", url, None, url)
+            emit("page", url, None, url, domain=page_dom)
             if res.error is not None:
-                emit("error", url, None, url, text=res.error)
+                emit("error", url, None, url, text=res.error,
+                     domain=page_dom)
             for link in res.links:
                 canon = canonicalize_url(link.url)
                 emit("link", link.url, link.meta, url,
                      url_canon=canon, domain=registrable_domain(canon))
             for rec in res.records:
+                rd = (page_dom if rec["url"] == url
+                      else registrable_domain(rec["url"]))
                 emit("record", rec["url"], None, url, rec["source"],
                      rec["title"], rec["author"], rec["location"],
                      rec["published"], rec["text"],
-                     {k: str(v) for k, v in (rec["extra"] or {}).items()})
+                     {k: str(v) for k, v in (rec["extra"] or {}).items()},
+                     domain=rd)
         yield pd.DataFrame(out, columns=cols)
 
 
