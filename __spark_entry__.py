@@ -27,9 +27,21 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+_VIEWS_READY: set[tuple[int, str]] = set()
+
+
 def _views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the input tables as temp views — once per (session,
+    dir): each spark.read.parquet is a driver-side listing + footer
+    read (~0.8 s for the 10 tables), pure metadata that is identical
+    on every call. Memoizing PLAN SETUP only — every query execution
+    still computes from the parquet inputs."""
+    key = (id(spark), sf_dir)
+    if key in _VIEWS_READY:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _VIEWS_READY.add(key)
 
 
 def _q(spark_sql: str, duck_sql: str | None = None):
