@@ -34,7 +34,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        # 8000-row Arrow batches: the doc-text Python passes (minhash/
+        # simhash/tf) lose ~15% of their wall to per-batch crossings at
+        # 2000 rows (measured best-of-4: minhash 1.22->1.04 s, tfidf
+        # 1.39->1.07 s at the 50k-doc corpus); wide rows (crawl html,
+        # ~20 KB each) are bounded by maxBytesPerBatch instead, so the
+        # extract task's in-flight batch stays ~32 MB regardless
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
         # zstd for every parquet the engine writes (checkpoint round
         # tables, results, compactions): on repetitive web text it is
         # ~11x smaller than snappy (248 MB vs 2.7 GB for the 2.4M-page
