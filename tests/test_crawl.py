@@ -589,3 +589,49 @@ def test_politeness_rank_strategies_equivalent(spark):
     want = sorted((f"https://hot.example/a/{i:04d}" for i in range(400)),
                   key=lambda u: (-(int(u[-4:]) % 7), u))[:25]
     assert {u for u in sched if u.startswith("https://hot.")} == set(want)
+
+
+def test_frontier_reconstruction_and_legacy_preference(spark, tmp_path):
+    """The per-round frontier table was dropped (round 6): resume
+    reconstructs the next frontier from the committed extracted +
+    frontier_ann tables. A checkpoint written BEFORE the drop (manifest
+    listing a frontier table) must still be preferred verbatim."""
+    import json
+
+    from siren_spark.crawl import _frontier_after
+    from siren_spark.operators.checkpoint import CheckpointStore
+
+    site = build_site(SPEC)
+    cfg = CrawlConfig(budget_per_host=BUDGET, window_start=WINDOW_START,
+                      window_end=WINDOW_END, keywords=SPEC.keywords,
+                      use_bloom=False, max_rounds=2)
+    ckpt = str(tmp_path / "ck_frontier")
+    run_crawl(spark, pages_df(spark, site.pages),
+              seeds_df(spark, site.seeds), cfg, ckpt)
+    store = CheckpointStore(ckpt)
+    m0 = store.manifest(0)
+    assert "frontier" not in m0["tables"]        # new format
+    rebuilt = _frontier_after(spark, store, 0)
+    # reconstruction must equal the round-1 annotate's input: every
+    # link of round 0 plus its deferred rows, with the loop's
+    # deterministic priority/depth
+    ex = spark.read.parquet(m0["tables"]["extracted"])
+    n_links = ex.filter("kind = 'link'").count()
+    ann = spark.read.parquet(m0["tables"]["frontier_ann"])
+    n_def = ann.filter("status = 'deferred'").count()
+    assert rebuilt.count() == n_links + n_def > 0
+    # link rows (depth = gen+1 = 1) carry the loop's deterministic
+    # priority; deferred rows keep their original one
+    link_prios = set(rebuilt.filter("depth = 1").select("priority")
+                     .distinct().toPandas()["priority"])
+    assert link_prios == {round(1.0 / 2, 6)} or n_links == 0
+    # legacy preference: doctor a frontier table into the manifest and
+    # verify _frontier_after reads THAT instead of reconstructing
+    legacy = rebuilt.limit(1)
+    legacy_path = str(tmp_path / "legacy_frontier")
+    legacy.write.parquet(legacy_path)
+    mp = store._manifest_path(0)
+    m = json.load(open(mp))
+    m["tables"]["frontier"] = legacy_path
+    json.dump(m, open(mp, "w"))
+    assert _frontier_after(spark, store, 0).count() == 1
