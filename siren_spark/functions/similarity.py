@@ -111,7 +111,8 @@ def minhash_signatures(
         # md5 calls (a further ~2x on corpora with shared phrasing).
         bsuffixes = [b""] + [s.encode() for s in suffixes]
         cache: dict[str, bytes] = {}
-        cache_cap = 1 << 20
+        # ~100 B per entry (digest bytes + shingle string): ~50 MB cap
+        cache_cap = 1 << 19
         width = 4 * n_hashes
         for b in batches:
             ids, texts = b.column(0), b.column(1)
@@ -425,7 +426,9 @@ def _simhash_map(df: DataFrame, id_col: str, text_col: str,
                     if v is None:
                         h = int(md5(tok.encode()).hexdigest()[:n_hex], 16)
                         v = (((h >> shifts) & 1) * 2 - 1).astype(np.int64)
-                        if len(memo) < (1 << 20):
+                        # ~0.5 KB per 64-bit entry: cap keeps a
+                        # diverse-vocab task under ~70 MB of memo
+                        if len(memo) < (1 << 17):
                             memo[tok] = v
                     acc += v
                 out_ids.append(i)
